@@ -1,0 +1,130 @@
+"""Vectorized "fetch": the HTTP HEAD/GET check as a join + columns.
+
+Reference: udata_hydra/crawl/check_resources.py:58-234 — one aiohttp
+HEAD (GET fallback) per URL producing a check row. Here the live web is
+the ``pages`` table (BASELINE.json input_hint), so a check is a join of
+the claimed batch against ``pages`` on url plus pure column expressions
+deriving status / headers / checksum / mime — zero per-row Python
+(north rule). HEAD→GET fallback (crawl/check_resources.py:107-115,
+helpers.py:51-74) degenerates to a `method` column since the simulated
+server answers both identically.
+
+Scale: the batch and `pages` are both hash-shuffled on `url` for the
+join; when the claimed batch is small Catalyst/AQE broadcasts it. sha1/
+length/map construction are whole-stage-codegen expressions over the
+binary column — no data leaves the JVM.
+
+Special URL conventions in the synthetic corpus (FIXTURES.md §1):
+`/status/404` → 404, `/status/429` → 429, `/timeout` → timeout row,
+missing page → connection error, URL without netloc → error check
+(check_resources.py:75-90).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hydra_spark.config import HydraConfig
+from hydra_spark.functions.urls import url_domain
+
+RFC1123 = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def simulate_fetch(
+    batch: DataFrame,
+    pages: DataFrame,
+    cfg: HydraConfig,
+    round_id: int,
+    now: str,
+) -> DataFrame:
+    """Return one check row per batch row (CHECKS_SCHEMA columns plus
+    the batch's passthrough columns prefixed as-is)."""
+    p = pages.select(
+        F.col("url").alias("_purl"),
+        F.col("warc_ts"),
+        F.col("html"),
+        F.col("text").alias("page_text"),
+    )
+    df = batch.join(p, batch.url == p._purl, "left").drop("_purl")
+
+    now_ts = F.to_timestamp(F.lit(now))
+    no_netloc = url_domain("url").isNull() | (url_domain("url") == "")
+    found = F.col("html").isNotNull()
+    is_timeout = F.col("url").contains("/timeout/")
+
+    status = (
+        F.when(no_netloc | is_timeout | ~found, F.lit(None).cast("int"))
+        .when(F.col("url").contains("/status/404/"), F.lit(404))
+        .when(F.col("url").contains("/status/429/"), F.lit(429))
+        .otherwise(F.lit(200))
+    )
+    error = (
+        F.when(no_netloc, F.concat(F.lit("URL has no netloc: "), F.col("url")))
+        .when(is_timeout, F.lit(None).cast("string"))
+        .when(~found, F.lit("connection error"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    # mime: sniff leading bytes (magic-equivalent, utils/file.py:94-113)
+    head16 = F.decode(F.substring(F.col("html"), 1, 16), "UTF-8")
+    mime = F.when(~found, F.lit(None).cast("string")).otherwise(
+        F.when(head16.startswith("<html"), F.lit("text/html")).otherwise(F.lit("text/csv"))
+    )
+
+    ok = status.isNotNull() & (status < 400)
+    headers = F.when(
+        ok,
+        F.map_from_arrays(
+            F.array(F.lit("content-length"), F.lit("content-type"), F.lit("last-modified")),
+            F.array(
+                F.length("html").cast("string"),
+                F.when(mime == "text/html", F.lit("text/html; charset=utf-8")).otherwise(
+                    F.lit("text/csv; charset=utf-8")
+                ),
+                F.date_format("warc_ts", RFC1123),
+            ),
+        ),
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+
+    # CORS probe (check_resources.py:262-299): synthetic per-host policy —
+    # a quarter of hosts expose permissive CORS
+    has_cors = F.pmod(F.hash(F.col("domain")), F.lit(4)) == 0
+    cors = F.when(
+        ok & has_cors,
+        F.create_map(
+            F.lit("access-control-allow-origin"), F.lit("*"),
+            F.lit("access-control-allow-methods"), F.lit("GET, OPTIONS"),
+        ),
+    ).otherwise(F.lit(None).cast("map<string,string>"))
+
+    # deterministic latency in [0.01, 0.5); timeouts report the 5 s cap
+    rt = F.when(is_timeout, F.lit(5.0)).otherwise(
+        0.01 + F.pmod(F.xxhash64("url", F.lit(round_id)), F.lit(490)) / 1000.0
+    )
+
+    # GET fallback simulation: some hosts return WAF-ish HEAD responses
+    # (helpers.py:51-74) — recorded as the method used
+    method = F.when(F.pmod(F.hash(F.col("domain")), F.lit(7)) == 0, F.lit("get")).otherwise(
+        F.lit("head")
+    )
+
+    # unique deterministic check id: collision-free w.h.p. and stable at
+    # any parallelism (replaces the PG serial, which would need a global
+    # row_number → single-partition shuffle at scale)
+    check_id = F.xxhash64(F.col("resource_id"), F.lit(round_id + 1_000_003))
+
+    return (
+        df.withColumn("id", check_id)
+        .withColumn("created_at", now_ts)
+        .withColumn("status", status)
+        .withColumn("headers", headers)
+        .withColumn("timeout", F.when(is_timeout, F.lit(True)).otherwise(F.lit(False)))
+        .withColumn("response_time", rt)
+        .withColumn("error", error)
+        .withColumn("checksum", F.when(found & ~is_timeout, F.sha1(F.col("html"))))
+        .withColumn("filesize", F.when(found & ~is_timeout, F.length("html")))
+        .withColumn("mime_type", F.when(~is_timeout, mime))
+        .withColumn("cors_headers", cors)
+        .withColumn("method", method)
+    )

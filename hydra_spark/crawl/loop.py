@@ -1,0 +1,46 @@
+"""Crawl loop driver + checkpoint/resume.
+
+Reference: udata_hydra/crawl/__init__.py:14-41 — infinite loop with a
+60 s sleep. Here rounds advance a *simulated* clock (now = start +
+round×interval) so politeness windows and the next-check ladder are
+deterministic and testable; a production deployment passes wall-clock
+timestamps instead. Resume: the StateStore records the last fully
+committed round; rerunning continues from round+1 with identical
+ordering because every pseudo-random choice is keyed on round_id.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hydra_spark.config import DEFAULT, HydraConfig
+from hydra_spark.crawl.round import run_round
+from hydra_spark.storage import StateStore
+
+TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def init_state(store: StateStore, frontier: DataFrame) -> None:
+    """Seed the frontier (catalog-load analog, cli/catalog.py:20-98)."""
+    store.frontier.commit(frontier, round_id=0)
+
+
+def run_crawl(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    cfg: HydraConfig = DEFAULT,
+    rounds: int = 1,
+    start_now: str = "2025-01-15 00:00:00",
+    round_interval_s: float = 60.0,
+) -> list[dict]:
+    """Run `rounds` rounds, resuming after the last committed one."""
+    start = datetime.strptime(start_now, TS_FMT)
+    first = store.last_round() + 1
+    out = []
+    for r in range(first, first + rounds):
+        now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
+        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now))
+    return out

@@ -1,0 +1,198 @@
+"""One crawl round as a single declarative DAG (SURVEY.md §3.1).
+
+frontier scan → stuck reset → tiered claim → politeness split →
+vectorized fetch → change detection → next-check ladder → checks append
+→ frontier MERGE → per-partition metrics → atomic round commit.
+
+The reference executes this as ~6 processes around PostgreSQL/Redis
+(crawl/__init__.py, crawl/check_resources.py, analysis/resource.py);
+collapsing a round into one Spark DAG removes every intermediate status
+of the 25-state machine (db/resource.py:11-37) except BACKOFF and the
+terminal updates, because the round is atomic.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hydra_spark.config import HydraConfig
+from hydra_spark.crawl.backoff import domain_backoff, split_backoff
+from hydra_spark.crawl.change import detect_changes, has_check_changed_expr
+from hydra_spark.crawl.fetch import simulate_fetch
+from hydra_spark.crawl.next_check import next_check_expr
+from hydra_spark.crawl.select_batch import select_batch
+from hydra_spark.schemas import CHECKS_SCHEMA
+from hydra_spark.storage import StateStore
+
+_PREV_COLS = [
+    "id", "status", "timeout", "headers", "checksum",
+    "detected_last_modified_at", "created_at", "cors_headers", "next_check_at",
+]
+
+
+def latest_checks(checks: DataFrame) -> DataFrame:
+    """Latest check per resource (J1/W1: replaces the last_check FK with
+    a window — db/check.py:45-53)."""
+    w = Window.partitionBy("resource_id").orderBy(F.desc("created_at"), F.desc("id"))
+    return (
+        checks.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def reset_stuck(frontier: DataFrame, cfg: HydraConfig, now: str) -> DataFrame:
+    """J4 (db/resource.py:173-192): statuses stuck longer than
+    STUCK_THRESHOLD_SECONDS reset to NULL — crash recovery."""
+    now_ts = F.to_timestamp(F.lit(now))
+    stuck = (
+        F.col("status").isNotNull()
+        & (F.col("status") != "BACKOFF")
+        & (
+            F.col("status_since").isNull()
+            | (F.col("status_since") < now_ts - F.make_interval(secs=F.lit(float(cfg.stuck_threshold_seconds))))
+        )
+    )
+    return frontier.withColumn(
+        "status", F.when(stuck, F.lit(None).cast("string")).otherwise(F.col("status"))
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    store: StateStore,
+    pages: DataFrame,
+    cfg: HydraConfig,
+    round_id: int,
+    now: str,
+) -> dict:
+    t0 = time.time()
+    frontier = store.frontier.read(spark)
+    checks = store.checks.read(spark) if store.checks.exists() else None
+    lc = latest_checks(checks) if checks is not None else None
+
+    frontier = reset_stuck(frontier, cfg, now)
+
+    batch = select_batch(frontier, lc, cfg, round_id, now)
+    go, held = split_backoff(batch, domain_backoff(checks, cfg, now))
+
+    fetched = simulate_fetch(go, pages, cfg, round_id, now)
+
+    if lc is not None:
+        prev = lc.select(
+            F.col("resource_id").alias("_prid"),
+            *[F.col(c).alias(f"prev_{c}") for c in _PREV_COLS],
+        )
+        cur = fetched.join(prev, fetched.resource_id == prev._prid, "left").drop("_prid")
+    else:
+        cur = fetched
+        for c in _PREV_COLS:
+            cur = cur.withColumn(f"prev_{c}", F.lit(None).cast(dict(
+                zip(CHECKS_SCHEMA.fieldNames(), [f.dataType for f in CHECKS_SCHEMA.fields])
+            )[c]))
+    cur = cur.withColumn("prev_exists", F.col("prev_id").isNotNull())
+
+    cur = detect_changes(cur, now)
+    cur = cur.withColumn("has_check_changed", has_check_changed_expr())
+    cur = cur.withColumn(
+        "next_check_at",
+        next_check_expr(
+            has_changed=F.col("has_check_changed") | (F.col("change_status") == "changed"),
+            prev_exists=F.col("prev_exists"),
+            last_modified_at=F.col("detected_last_modified_at"),
+            prev_created_at=F.col("prev_created_at"),
+            now=now,
+            cfg=cfg,
+        ),
+    )
+    # analysis gate (work avoidance, analysis/resource.py:93-133): only
+    # changed-or-unknown CSV resources get (re)parsed
+    cur = cur.withColumn(
+        "parsing_table",
+        F.when(
+            (F.col("change_status") != "unchanged")
+            & (F.col("mime_type") == "text/csv")
+            & F.col("status").isNotNull()
+            & (F.col("status") < 400),
+            F.md5(F.col("url")),
+        ),
+    )
+    cur = cur.persist()
+
+    # ---- checks append (fill analysis-only fields with NULLs) ----------
+    have = set(cur.columns)
+    check_cols = [
+        (F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name))
+        for f in CHECKS_SCHEMA.fields
+    ]
+    checks_batch = cur.select(*check_cols)
+    store.checks.append(checks_batch, round_id=round_id)
+
+    # ---- frontier MERGE (SO2): checked → last_check/status reset; -------
+    # backed-off → status BACKOFF (Iceberg MERGE INTO analog)
+    updates = cur.select(
+        F.col("resource_id").alias("_urid"),
+        F.col("id").alias("_new_last_check"),
+        F.lit("checked").alias("_upd"),
+    )
+    if held is not None:
+        updates = updates.unionByName(
+            held.select(
+                F.col("resource_id").alias("_urid"),
+                F.lit(None).cast("long").alias("_new_last_check"),
+                F.lit("backoff").alias("_upd"),
+            )
+        )
+    now_ts = F.to_timestamp(F.lit(now))
+    merged = (
+        frontier.join(updates, frontier.resource_id == updates._urid, "left")
+        .withColumn(
+            "last_check",
+            F.when(F.col("_upd") == "checked", F.col("_new_last_check")).otherwise(
+                F.col("last_check")
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("_upd") == "checked", F.lit(None).cast("string"))
+            .when(F.col("_upd") == "backoff", F.lit("BACKOFF"))
+            .otherwise(F.col("status")),
+        )
+        .withColumn(
+            "priority",
+            F.when(F.col("_upd") == "checked", F.lit(False)).otherwise(F.col("priority")),
+        )
+        .withColumn(
+            "status_since", F.when(F.col("_upd").isNotNull(), now_ts).otherwise(F.col("status_since"))
+        )
+        .drop("_urid", "_new_last_check", "_upd")
+    )
+    store.frontier.commit(merged, round_id=round_id)
+
+    # ---- per-partition lineage + fetch metrics (north rule) ------------
+    metrics = cur.groupBy("host_bucket", "domain").agg(
+        F.lit(round_id).alias("round_id"),
+        F.count("*").alias("n_urls"),
+        F.sum(F.coalesce(F.col("filesize"), F.lit(0))).alias("bytes"),
+        F.sum(F.when(F.col("status").between(200, 399), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.col("timeout"), 1).otherwise(0)).alias("n_timeout"),
+        F.sum(F.when(F.col("change_status") == "changed", 1).otherwise(0)).alias("n_changed"),
+    )
+    store.metrics.append(metrics, round_id=round_id)
+
+    n_checked = cur.count()
+    n_held = held.count() if held is not None else 0
+    cur.unpersist()
+    wall = time.time() - t0
+    summary = {
+        "round": round_id,
+        "now": now,
+        "n_checked": n_checked,
+        "n_backoff": n_held,
+        "wall_s": round(wall, 3),
+        "urls_per_s": round(n_checked / wall, 2) if wall > 0 else None,
+    }
+    store.commit_round(round_id, meta=summary)
+    return summary

@@ -1,0 +1,91 @@
+"""Frontier batch selection — the priority-queue operator (SURVEY.md §2.4).
+
+Reference: udata_hydra/crawl/select_batch.py:34-91 — three tiers
+(priority → never-checked → due), each `ORDER BY random() LIMIT n`,
+claimed transactionally. Here the three tier queries collapse into one
+scan with a tier column; "random" is a seeded hash (stable across
+cluster sizes, unlike ``F.rand`` whose stream depends on partitioning);
+the claim is the round's atomic snapshot commit.
+
+Scale notes (100 TB frontier):
+- eligibility filters (deleted/status/excluded) are plain predicates →
+  pushed to the parquet/Iceberg scan by Catalyst.
+- breadth-first across hosts: rank-within-host via a window partitioned
+  by domain. The shuffle is keyed on domain; Zipf-heavy hosts are
+  bounded because the window only needs row_number (no full sort spill
+  per group beyond the group itself) and AQE skew handling is on.
+- the final global ``orderBy(...).limit(batch)`` compiles to
+  TakeOrderedAndProject — no full sort, only a per-partition top-k
+  merge on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hydra_spark.config import HydraConfig
+from hydra_spark.functions.urls import excluded_clause, url_domain
+
+# large prime for hash→pseudo-random ordering
+_M = 1_000_000_007
+
+
+def eligible_frontier(frontier: DataFrame, cfg: HydraConfig) -> DataFrame:
+    """F1/F8: not deleted, no blocking status (NULL or BACKOFF are
+    crawlable — db/resource.py:157-170), not pattern-excluded."""
+    return frontier.where(
+        (~F.col("deleted"))
+        & (F.col("status").isNull() | (F.col("status") == "BACKOFF"))
+        & excluded_clause(cfg.excluded_patterns)
+    )
+
+
+def select_batch(
+    frontier: DataFrame,
+    latest_checks: DataFrame | None,
+    cfg: HydraConfig,
+    round_id: int,
+    now: str,
+) -> DataFrame:
+    """Pick this round's batch: tier 0 = priority flag, tier 1 = never
+    checked, tier 2 = next_check_at due (crawl/select_batch.py:47-89).
+
+    ``latest_checks`` carries (resource_id, next_check_at) of each
+    resource's most recent check; None on the first round.
+    """
+    el = eligible_frontier(frontier, cfg)
+    if latest_checks is not None:
+        lc = latest_checks.select(
+            F.col("resource_id").alias("_rid"), F.col("next_check_at")
+        )
+        el = el.join(lc, el.resource_id == lc._rid, "left").drop("_rid")
+    else:
+        el = el.withColumn("next_check_at", F.lit(None).cast("timestamp"))
+
+    now_ts = F.to_timestamp(F.lit(now))
+    tier = (
+        F.when(F.col("priority"), F.lit(0))
+        .when(F.col("last_check").isNull(), F.lit(1))
+        .when(F.col("next_check_at").isNull() | (F.col("next_check_at") <= now_ts), F.lit(2))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    el = el.withColumn("tier", tier).where(F.col("tier").isNotNull())
+
+    # seeded pseudo-random ordering: deterministic for a given round at
+    # ANY parallelism (ORDER BY random() analog, select_batch.py:47-56)
+    rnd = F.pmod(F.xxhash64("resource_id", F.lit(round_id)), F.lit(_M))
+    el = el.withColumn("rnd", rnd).withColumn("domain", url_domain("url"))
+
+    # breadth-first across hosts: best row of every host first
+    w = Window.partitionBy("domain").orderBy("tier", "rnd", "resource_id")
+    el = el.withColumn("host_rank", F.row_number().over(w))
+
+    return (
+        el.orderBy("host_rank", "tier", "rnd", "resource_id")
+        .limit(cfg.batch_size)
+        .select(
+            "dataset_id", "resource_id", "url", "priority", "harvest_modified_at",
+            "format", "host_bucket", "tier", "domain",
+        )
+    )

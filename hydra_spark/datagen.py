@@ -1,0 +1,168 @@
+"""Deterministic synthetic web corpus + frontier seed (FIXTURES.md §1-2).
+
+Everything is pure column expressions over ``spark.range`` — seeded,
+reproducible at any scale factor, executable distributed (no driver-side
+data). Host sizes follow a Zipf-ish law so per-host skew (and therefore
+salting + AQE skew handling) is actually exercised.
+
+Special rows (FIXTURES.md §1): 404s, 429s, timeout sentinels, a
+no-netloc URL, EXCLUDED_PATTERNS matches, CSV payloads for the analysis
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hydra_spark.config import DEFAULT, HydraConfig
+from hydra_spark.functions.urls import host_bucket
+
+BASE_TS = "2025-01-01 00:00:00"
+
+
+def _u01(col, seed: int):
+    """Deterministic uniform(0,1) from a column (xxhash64-based)."""
+    return (F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(1_000_000_007)) / 1_000_000_007.0)
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_urls: int,
+    n_hosts: int = 100,
+    seed: int = 42,
+    csv_rows_per_page: int = 20,
+) -> DataFrame:
+    """Common-Crawl-style ``pages`` table (BASELINE.json input_hint):
+    (url string, warc_ts timestamp, html binary, text string, lang string).
+
+    ~30% of pages carry a CSV payload (the analysis path); the rest are
+    HTML. ``text`` is the reference-extracted text for the byte-identical
+    invariant: for CSV pages the raw CSV text, for HTML the body text.
+    """
+    df = spark.range(n_urls).withColumnRenamed("id", "page_id")
+
+    # Zipf-ish host assignment: inverse-CDF of 1/(h+1) mass.
+    u = _u01(F.col("page_id"), seed)
+    host_id = (F.floor(F.exp(u * F.log(F.lit(float(n_hosts + 1))))) - 1).cast("int")
+    df = df.withColumn("host_id", F.least(host_id, F.lit(n_hosts - 1)))
+    df = df.withColumn(
+        "host",
+        F.concat(F.lit("host"), F.col("host_id").cast("string"), F.lit(".example.com")),
+    )
+
+    pid = F.col("page_id")
+    df = df.withColumn(
+        "url",
+        F.when(pid % 401 == 13, F.lit(None).cast("string"))  # replaced below
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("host"),
+                F.when(pid % 101 == 7, F.concat(F.lit("/status/404/r"), pid.cast("string")))
+                .when(pid % 211 == 11, F.concat(F.lit("/status/429/r"), pid.cast("string")))
+                .when(pid % 307 == 17, F.concat(F.lit("/timeout/r"), pid.cast("string")))
+                .otherwise(F.concat(F.lit("/r/"), pid.cast("string"))),
+            )
+        ),
+    )
+    # special rows: excluded patterns + a no-netloc URL (F5)
+    df = df.withColumn(
+        "url",
+        F.when(pid % 401 == 13, F.concat(F.lit("http://geo.data.gouv.fr/shp/"), pid.cast("string")))
+        .when(pid % 509 == 19, F.concat(F.lit("https://"), F.col("host"), F.lit("/export?format=shp&id="), pid.cast("string")))
+        .when(pid == 13, F.lit("no-netloc-url-13"))
+        .otherwise(F.col("url")),
+    )
+
+    df = df.withColumn(
+        "warc_ts",
+        F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=(pid * 37 % 864000).cast("double")),
+    )
+
+    # payload: ~30% CSV (deterministic), else HTML
+    is_csv = F.pmod(F.xxhash64(pid, F.lit(seed + 1)), F.lit(10)) < 3
+    row_idx = F.sequence(F.lit(0), F.lit(csv_rows_per_page - 1))
+    csv_body = F.concat(
+        F.lit("code_insee,number,label\n"),
+        F.array_join(
+            F.transform(
+                row_idx,
+                lambda i: F.concat(
+                    ((pid * 131 + i * 7919) % 95999 + 1000).cast("string"),
+                    F.lit(","),
+                    ((pid + i * 13) % 1000).cast("string"),
+                    F.lit(",item_"),
+                    i.cast("string"),
+                ),
+            ),
+            "\n",
+        ),
+    )
+    html_text = F.concat(
+        F.lit("Document "),
+        pid.cast("string"),
+        F.lit(" from "),
+        F.col("host"),
+        F.lit(". Lorem ipsum dolor sit amet, id="),
+        (pid % 7777).cast("string"),
+        F.lit("."),
+    )
+    html_body = F.concat(
+        F.lit("<html><head><title>"),
+        pid.cast("string"),
+        F.lit("</title></head><body><p>"),
+        html_text,
+        F.lit("</p></body></html>"),
+    )
+    df = (
+        df.withColumn("is_csv", is_csv)
+        .withColumn("text", F.when(is_csv, csv_body).otherwise(html_text))
+        .withColumn("payload", F.when(is_csv, csv_body).otherwise(html_body))
+        .withColumn("html", F.encode(F.col("payload"), "UTF-8"))
+        .withColumn("lang", F.when(F.col("host_id") % 3 == 0, F.lit("en")).otherwise(F.lit("fr")))
+    )
+    return df.select("url", "warc_ts", "html", "text", "lang")
+
+
+def generate_frontier(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: HydraConfig = DEFAULT,
+    seed: int = 42,
+) -> DataFrame:
+    """Seed frontier (hydra `catalog`) from the pages corpus: one
+    resource per URL, deterministic UUID-shaped resource ids from
+    md5(url) (the reference names parsed tables md5(url) too —
+    data_formats/csv_like/to_db.py:41)."""
+    h = F.md5(F.col("url"))
+    rid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    idx = F.xxhash64(F.col("url"), F.lit(seed + 2))
+    fr = pages.select(
+        F.substring(F.md5(F.concat(F.lit("ds"), F.col("url"))), 1, 24).alias("dataset_id"),
+        rid.alias("resource_id"),
+        F.col("url"),
+        (F.pmod(idx, F.lit(499)) == 0).alias("deleted"),
+        F.lit(None).cast("long").alias("last_check"),
+        (F.pmod(idx, F.lit(97)) == 0).alias("priority"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("timestamp").alias("status_since"),
+        F.when(F.pmod(idx, F.lit(5)) == 0, F.col("warc_ts") - F.expr("INTERVAL 10 DAYS"))
+        .otherwise(F.lit(None).cast("timestamp"))
+        .alias("harvest_modified_at"),
+        F.lit("main").alias("type"),
+        F.when(
+            F.substring(F.decode(F.col("html"), "UTF-8"), 1, 5) != "<html", F.lit("csv")
+        ).otherwise(F.lit(None).cast("string")).alias("format"),
+        F.concat(F.lit("resource "), F.substring(h, 1, 8)).alias("title"),
+    ).withColumn("host_bucket", host_bucket("url", cfg.frontier_buckets))
+    # frontier key is resource_id — md5(url) collisions are impossible in
+    # the synthetic corpus, but keep the invariant explicit:
+    return fr.dropDuplicates(["resource_id"])

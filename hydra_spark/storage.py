@@ -1,0 +1,176 @@
+"""Snapshot-versioned table storage ("Iceberg-lite").
+
+The design targets Iceberg tables (SURVEY.md §1.1): atomic snapshot
+commits per crawl round, resume from last committed snapshot, and an
+append log for `checks`. The sandbox has no Iceberg runtime jar, so this
+module provides the same API shape over parquet directories + a JSON
+manifest whose pointer flip is atomic (``os.replace``). Swapping to real
+Iceberg means replacing these classes with ``df.writeTo(...)`` calls —
+call sites do not change.
+
+Replaces the reference's transactional claims (temp table + FOR UPDATE,
+udata_hydra/crawl/select_batch.py:16-31): a single-writer driver plus an
+atomic snapshot commit gives the same claim semantics without row locks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _read_manifest(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+class SnapshotTable:
+    """A table whose every commit is a full immutable snapshot.
+
+    Used for the frontier and domain-state tables: small relative to the
+    corpus, rewritten per round (Iceberg MERGE analog is copy-on-write
+    here). At 10^10-row frontier scale the real backend is Iceberg
+    MERGE; the commit protocol (write-new, flip pointer) is identical.
+    """
+
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.manifest_path = os.path.join(self.dir, "manifest.json")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def manifest(self) -> dict:
+        return _read_manifest(self.manifest_path) or {"current": None, "snapshots": []}
+
+    def current_snapshot(self) -> dict | None:
+        m = self.manifest()
+        if m["current"] is None:
+            return None
+        return next(s for s in m["snapshots"] if s["id"] == m["current"])
+
+    def exists(self) -> bool:
+        return self.current_snapshot() is not None
+
+    # -- IO ---------------------------------------------------------------
+    def commit(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
+        m = self.manifest()
+        sid = (m["current"] or 0) + 1
+        snap_dir = os.path.join(self.dir, f"snap-{sid:06d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        m["snapshots"].append(
+            {"id": sid, "round": round_id, "ts": time.time(), "path": snap_dir, "meta": meta or {}}
+        )
+        m["current"] = sid
+        _write_manifest(self.manifest_path, m)
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        m = self.manifest()
+        sid = snapshot_id if snapshot_id is not None else m["current"]
+        if sid is None:
+            raise FileNotFoundError(f"table {self.dir} has no committed snapshot")
+        snap = next(s for s in m["snapshots"] if s["id"] == sid)
+        return spark.read.parquet(snap["path"])
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        m = self.manifest()
+        assert any(s["id"] == snapshot_id for s in m["snapshots"])
+        m["current"] = snapshot_id
+        _write_manifest(self.manifest_path, m)
+
+    def expire_snapshots(self, keep: int = 3) -> None:
+        """Drop all but the newest `keep` snapshots (retention, W6 analog)."""
+        m = self.manifest()
+        live = m["snapshots"][-keep:]
+        dead = m["snapshots"][:-keep]
+        for s in dead:
+            if s["id"] != m["current"] and os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        m["snapshots"] = live + [s for s in dead if s["id"] == m["current"]]
+        m["snapshots"].sort(key=lambda s: s["id"])
+        _write_manifest(self.manifest_path, m)
+
+
+class AppendLog:
+    """Append-only table (the `checks` log): each commit adds a batch dir.
+
+    Partition analog: one directory per round ≈ Iceberg partition by
+    days(created_at); readers union the batch dirs. Old batches can be
+    compacted without changing readers.
+    """
+
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.manifest_path = os.path.join(self.dir, "manifest.json")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def manifest(self) -> dict:
+        return _read_manifest(self.manifest_path) or {"batches": []}
+
+    def exists(self) -> bool:
+        return bool(self.manifest()["batches"])
+
+    def append(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
+        m = self.manifest()
+        bid = len(m["batches"]) + 1
+        bdir = os.path.join(self.dir, f"batch-{bid:06d}")
+        df.write.mode("overwrite").parquet(bdir)
+        m["batches"].append(
+            {"id": bid, "round": round_id, "ts": time.time(), "path": bdir, "meta": meta or {}}
+        )
+        _write_manifest(self.manifest_path, m)
+        return bid
+
+    def read(self, spark: SparkSession, upto_batch: int | None = None) -> DataFrame:
+        m = self.manifest()
+        paths = [
+            b["path"] for b in m["batches"] if upto_batch is None or b["id"] <= upto_batch
+        ]
+        if not paths:
+            raise FileNotFoundError(f"append log {self.dir} is empty")
+        return spark.read.parquet(*paths)
+
+
+@dataclass
+class StateStore:
+    """All round-to-round crawl state under one root (checkpoint unit).
+
+    A killed job resumes from here: the last fully-committed round is
+    the max round present in ``rounds.json`` (written last in a round).
+    """
+
+    root: str
+
+    def __post_init__(self):
+        os.makedirs(self.root, exist_ok=True)
+        self.frontier = SnapshotTable(self.root, "frontier")
+        self.checks = AppendLog(self.root, "checks")
+        self.domain_state = SnapshotTable(self.root, "domain_state")
+        self.tables_index = AppendLog(self.root, "tables_index")
+        self.metrics = AppendLog(self.root, "metrics")
+        self.seen = SnapshotTable(self.root, "url_seen")
+        self._rounds_path = os.path.join(self.root, "rounds.json")
+
+    def last_round(self) -> int:
+        m = _read_manifest(self._rounds_path)
+        return m["last_round"] if m else 0
+
+    def commit_round(self, round_id: int, meta: dict | None = None) -> None:
+        m = _read_manifest(self._rounds_path) or {"last_round": 0, "rounds": []}
+        m["last_round"] = round_id
+        m["rounds"].append({"round": round_id, "ts": time.time(), "meta": meta or {}})
+        _write_manifest(self._rounds_path, m)

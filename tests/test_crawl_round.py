@@ -1,0 +1,93 @@
+"""Round-level E2E over the synthetic pages corpus + resume equality.
+
+Mirrors the reference's E2E crawl tests (tests/test_crawl/test_crawl.py)
+plus our north-rule requirements: deterministic ordering under a fixed
+seed, checkpoint/resume with identical results.
+"""
+
+import pytest
+
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.loop import init_state, run_crawl
+from hydra_spark.crawl.select_batch import select_batch
+from hydra_spark.datagen import generate_frontier, generate_pages
+from hydra_spark.storage import StateStore
+
+CFG = DEFAULT.with_(batch_size=60)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_pages(spark, 1200, n_hosts=20)
+    frontier = generate_frontier(spark, pages)
+    pages.cache().count()
+    frontier.cache().count()
+    return pages, frontier
+
+
+def _crawl(spark, corpus, tmpdir, rounds):
+    pages, frontier = corpus
+    store = StateStore(str(tmpdir))
+    init_state(store, frontier)
+    res = run_crawl(spark, store, pages, CFG, rounds=rounds)
+    return store, res
+
+
+def test_round_produces_checks(spark, corpus, tmp_path):
+    store, res = _crawl(spark, corpus, tmp_path, rounds=1)
+    assert res[0]["n_checked"] == 60
+    checks = store.checks.read(spark)
+    rows = checks.collect()
+    assert len(rows) == 60
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert 200 in by_status
+    for r in by_status[200]:
+        assert r["checksum"] and len(r["checksum"]) == 40
+        assert r["headers"]["content-length"] == str(r["filesize"])
+        assert r["next_check_at"] is not None
+
+
+def test_priority_resources_selected_first(spark, corpus):
+    pages, frontier = corpus
+    batch = select_batch(frontier, None, CFG.with_(batch_size=10_000), 1, "2025-01-15 00:00:00")
+    rows = batch.collect()
+    n_priority_frontier = frontier.where("priority and not deleted").count()
+    n_priority_batch = sum(1 for r in rows if r["tier"] == 0)
+    assert n_priority_batch == n_priority_frontier
+
+
+def test_excluded_and_deleted_never_selected(spark, corpus):
+    pages, frontier = corpus
+    batch = select_batch(frontier, None, CFG.with_(batch_size=10_000), 1, "2025-01-15 00:00:00")
+    for r in batch.collect():
+        assert "geo.data.gouv.fr" not in r["url"]
+        assert "format=shp" not in r["url"]
+
+
+def test_resume_equals_continuous(spark, corpus, tmp_path):
+    """Kill-and-resume reproduces the continuous run exactly (north rule)."""
+    store_a, _ = _crawl(spark, corpus, tmp_path / "a", rounds=3)
+
+    pages, frontier = corpus
+    store_b = StateStore(str(tmp_path / "b"))
+    init_state(store_b, frontier)
+    run_crawl(spark, store_b, pages, CFG, rounds=2)
+    assert store_b.last_round() == 2
+    run_crawl(spark, store_b, pages, CFG, rounds=1)  # resumes at round 3
+
+    a = {(r["resource_id"], r["id"]) for r in store_a.checks.read(spark).collect()}
+    b = {(r["resource_id"], r["id"]) for r in store_b.checks.read(spark).collect()}
+    assert a == b and len(a) == 180
+
+
+def test_no_recheck_before_due(spark, corpus, tmp_path):
+    """A URL checked in round r is not re-selected while next_check_at
+    is in the future (12h ladder vs 60s rounds)."""
+    store, _ = _crawl(spark, corpus, tmp_path, rounds=3)
+    checks = store.checks.read(spark).collect()
+    per_resource = {}
+    for r in checks:
+        per_resource.setdefault(r["resource_id"], []).append(r)
+    assert max(len(v) for v in per_resource.values()) == 1
