@@ -1,0 +1,159 @@
+"""Distributed CSV analysis + ingest (S9/S10 + §2.10).
+
+Reference flow (data_formats/csv_like/__init__.py:60-159 +
+to_db.py:24-115): inspect with csv-detective → CREATE TABLE md5(url) →
+COPY casted rows → record in tables_index. Here:
+
+- `analyse_csv_batch` runs per-file inspection + typed casting inside
+  ``mapInPandas`` — NO shuffle: each file's bytes already live in one
+  row, every partition parses its own files independently. Output is a
+  schema-stable rows table: one row per data line with the typed record
+  JSON-encoded (per-resource schemas are dynamic; JSON + a stored
+  StructType replaces PG's per-resource CREATE TABLE).
+- `load_parsed_table` materializes one resource's typed DataFrame by
+  applying its stored schema with ``from_json`` — the `parsed.<md5>`
+  Iceberg table analog.
+
+The `__id` serial (conversion/schema.py:73; asserted 1-based in
+tests/test_conversion/test_csv_to_db.py:17-22) is the 1-based line
+number within the file — deterministic, computed during the parse.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from datetime import date, datetime
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hydra_spark.analysis.casting import smart_cast_cell
+from hydra_spark.analysis.inspect import ParsingError, inspect_csv
+from hydra_spark.schemas import PYTHON_TYPE_TO_SPARK, db_col_name
+
+ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("parsing_table", T.StringType()),
+        T.StructField("resource_id", T.StringType()),
+        T.StructField("dataset_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("__id", T.LongType()),
+        T.StructField("row_json", T.StringType()),
+        T.StructField("inspection", T.StringType()),
+        T.StructField("parsing_error", T.StringType()),
+    ]
+)
+
+
+def _json_default(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
+    return str(v)
+
+
+def _analyse_one(url: str, rid: str, did: str, data: bytes, table: str) -> list[tuple]:
+    try:
+        insp = inspect_csv(data)
+    except ParsingError as e:
+        # error string format: data_formats/csv_like/__init__.py analysis
+        # error reporting (tests/test_analysis/test_analysis_csv.py:104-151)
+        return [(table, rid, did, url, None, None, None, f"csv_detective:{e}")]
+
+    import csv as _csv
+    import io as _io
+
+    text = data.decode(insp["encoding"])
+    reader = _csv.reader(_io.StringIO(text), delimiter=insp["separator"])
+    rows = [r for r in reader if r]
+    header = [db_col_name(h) for h in insp["header"]]
+    types = [insp["columns"][h]["python_type"] for h in insp["header"]]
+
+    out = []
+    insp_json = json.dumps(insp, default=_json_default)
+    for i, r in enumerate(rows[1:], start=1):
+        rec = {}
+        for name, t, v in zip(header, types, r):
+            try:
+                rec[name] = smart_cast_cell(t, v)
+            except ValueError:
+                rec[name] = None  # failsafe NULL (utils/casting.py:21-25)
+        out.append(
+            (table, rid, did, url, i, json.dumps(rec, default=_json_default),
+             insp_json if i == 1 else None, None)
+        )
+    if not out:  # header-only file: still record the inspection
+        out.append((table, rid, did, url, 0, None, insp_json, None))
+    return out
+
+
+def analyse_csv_batch(df: DataFrame) -> DataFrame:
+    """df: (url, resource_id, dataset_id, html binary, [parsing_table]).
+    → ROWS_SCHEMA rows, one per parsed data line (or one error row)."""
+    if "parsing_table" not in df.columns:
+        df = df.withColumn("parsing_table", F.md5("url"))
+    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in ROWS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, rid, did, html, table in pdf[cols].itertuples(index=False):
+                if html is None:
+                    continue
+                rows.extend(_analyse_one(url, rid, did, bytes(html), table))
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(*cols).mapInPandas(gen, schema=ROWS_SCHEMA)
+
+
+def tables_index_entries(rows: DataFrame, now: str) -> DataFrame:
+    """tables_index rows (migrations/csv/20221205:3-10) from a parsed
+    batch: one entry per successfully inspected file."""
+    return rows.where(F.col("inspection").isNotNull()).select(
+        "parsing_table",
+        F.col("inspection").alias("csv_detective"),
+        "resource_id",
+        "dataset_id",
+        "url",
+        F.to_timestamp(F.lit(now)).alias("created_at"),
+        F.lit(None).cast("string").alias("indexes"),
+        F.lit(None).cast("timestamp").alias("deleted_at"),
+    )
+
+
+def schema_from_inspection(insp: dict) -> T.StructType:
+    fields = [T.StructField("__id", T.LongType(), False)]
+    for name, c in insp["columns"].items():
+        fields.append(
+            T.StructField(db_col_name(name), PYTHON_TYPE_TO_SPARK[c["python_type"]], True)
+        )
+    return T.StructType(fields)
+
+
+def load_parsed_table(
+    spark: SparkSession, rows: DataFrame, inspection: dict, table_name: str
+) -> DataFrame:
+    """Typed DataFrame of one parsed resource (`SELECT * FROM "<md5>"`)."""
+    schema = schema_from_inspection(insp=inspection)
+    data_fields = [f for f in schema.fields if f.name != "__id"]
+    rec = T.StructType(data_fields)
+    return (
+        rows.where((F.col("parsing_table") == table_name) & F.col("row_json").isNotNull())
+        .select(
+            "__id",
+            F.from_json(
+                "row_json",
+                rec,
+                {
+                    "allowNonNumericNumbers": "true",
+                    "timestampFormat": "yyyy-MM-dd HH:mm:ss[.SSSSSS][XXX]",
+                    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
+                },
+            ).alias("_r"),
+        )
+        .select("__id", "_r.*")
+    )

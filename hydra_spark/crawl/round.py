@@ -18,6 +18,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hydra_spark.analysis.ingest import analyse_csv_batch, tables_index_entries
 from hydra_spark.config import HydraConfig
 from hydra_spark.crawl.backoff import domain_backoff, split_backoff
 from hydra_spark.crawl.change import detect_changes, has_check_changed_expr
@@ -120,6 +121,40 @@ def run_round(
     )
     cur = cur.persist()
 
+    # ---- tabular analysis (work-avoidance-gated, §2.10) -----------------
+    # parse changed/unknown CSV resources; record rows + tables_index
+    to_parse = cur.where(F.col("parsing_table").isNotNull()).select(
+        "url", "resource_id", "dataset_id", "html", "parsing_table"
+    )
+    parsed = analyse_csv_batch(to_parse).persist()
+    store.parsed_rows.append(parsed.where(F.col("row_json").isNotNull()), round_id=round_id)
+    store.tables_index.append(tables_index_entries(parsed, now), round_id=round_id)
+    parse_errs = (
+        parsed.where(F.col("parsing_error").isNotNull())
+        .select(F.col("resource_id").alias("_erid"), F.col("parsing_error").alias("_perr"))
+        .dropDuplicates(["_erid"])
+    )
+    cur = (
+        cur.join(F.broadcast(parse_errs), cur.resource_id == parse_errs._erid, "left")
+        .withColumn("parsing_error", F.col("_perr"))
+        # failed parses leave no table behind (analysis_csv.py error tests)
+        .withColumn(
+            "parsing_table",
+            F.when(F.col("_perr").isNotNull(), F.lit(None).cast("string")).otherwise(
+                F.col("parsing_table")
+            ),
+        )
+        .withColumn(
+            "parsing_started_at",
+            F.when(
+                F.col("parsing_table").isNotNull() | F.col("parsing_error").isNotNull(),
+                F.to_timestamp(F.lit(now)),
+            ),
+        )
+        .withColumn("parsing_finished_at", F.col("parsing_started_at"))
+        .drop("_erid", "_perr")
+    )
+
     # ---- checks append (fill analysis-only fields with NULLs) ----------
     have = set(cur.columns)
     check_cols = [
@@ -185,6 +220,7 @@ def run_round(
     n_checked = cur.count()
     n_held = held.count() if held is not None else 0
     cur.unpersist()
+    parsed.unpersist()
     wall = time.time() - t0
     summary = {
         "round": round_id,

@@ -161,6 +161,7 @@ class StateStore:
         self.checks = AppendLog(self.root, "checks")
         self.domain_state = SnapshotTable(self.root, "domain_state")
         self.tables_index = AppendLog(self.root, "tables_index")
+        self.parsed_rows = AppendLog(self.root, "parsed_rows")
         self.metrics = AppendLog(self.root, "metrics")
         self.seen = SnapshotTable(self.root, "url_seen")
         self._rounds_path = os.path.join(self.root, "rounds.json")
