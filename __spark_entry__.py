@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry` runs a full crawl round (the flagship pipeline) over a pages
+corpus synthesized from sf0.001 documents. `queries()` exposes every
+SURVEY.md §2 operator family as a (spark, sf_dir) callable; each
+SQL-expressible one has a DuckDB twin in `oracle_sql()` with identical
+column names/types (timestamps rendered as strings, doubles rounded).
+
+Non-SQL-expressible entries (xxhash64-based fingerprints, LSH, the
+stateful crawl round, Bloom membership) intentionally have no oracle —
+the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+NOW = "1998-12-01 00:00:00"  # fixed clock for ladder queries
+DELAYS = [12, 24, 168, 720]
+
+_EN = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"]
+_FR = ["le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"]
+_STOP_EN = r"(?i)\b(" + "|".join(_EN) + r")\b"
+_STOP_FR = r"(?i)\b(" + "|".join(_FR) + r")\b"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: one crawl round over a synthetic pages corpus
+# ---------------------------------------------------------------------------
+
+def _docs_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table derived from the documents table (the
+    driver-sanctioned input), matching BASELINE.json input_hint."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        url.alias("url"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_interval(secs=(F.col("doc_id") * 97 % 864000).cast("double"))).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl round over sf0.001 → the checks log."""
+    from hydra_spark.config import DEFAULT
+    from hydra_spark.crawl.loop import init_state, run_crawl
+    from hydra_spark.datagen import generate_frontier
+    from hydra_spark.storage import StateStore
 
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _docs_pages(spark, sf_dir)
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(tempfile.mkdtemp(prefix="hydra_entry_"))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=200), rounds=1)
+    return store.checks.read(spark).select(
+        "resource_id", "url", "domain", "status", "checksum", "filesize", "mime_type",
+        "parsing_table",
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by spark queries
+# ---------------------------------------------------------------------------
+
+def _latest_event_window():
+    return Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+
+def _doc_url():
+    d = F.col("doc_id")
+    return (
+        F.when(d % 401 == 13, F.concat(F.lit("http://geo.data.gouv.fr/shp/"), d.cast("string")))
+        .when(d % 509 == 19,
+              F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                       F.lit(".example.com/export?format=shp&id="), d.cast("string")))
+        .otherwise(F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                            F.lit(".example.com/doc/"), d.cast("string")))
+    )
+
+
+_DOC_URL_SQL = (
+    "CASE WHEN doc_id % 401 = 13 THEN 'http://geo.data.gouv.fr/shp/' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 509 = 19 THEN 'https://host' || CAST(doc_id % 20 AS VARCHAR) || "
+    "'.example.com/export?format=shp&id=' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || "
+    "CAST(doc_id AS VARCHAR) END"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from hydra_spark.functions.headers import content_type_base
+    from hydra_spark.functions.urls import canonicalize_url
+    from hydra_spark.ml import dedup, similarity, text as mltext
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_latest_check(spark, sf):  # J1/W1
+        ev = _t(spark, sf, "events")
+        return (
+            ev.withColumn("rn", F.row_number().over(_latest_event_window()))
+            .where("rn = 1")
+            .select(
+                "user_id",
+                F.col("event_id").alias("latest_event_id"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                "event_type",
+            )
+        )
+
+    def q_last_two_change(spark, sf):  # J3/W2 + change flag
+        ev = _t(spark, sf, "events")
+        w = _latest_event_window()
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .withColumn("prev_value", F.lead("value").over(w))
+            .where("rn = 1")
+            .select(
+                "user_id",
+                F.round("value", 6).alias("cur_value"),
+                F.round("prev_value", 6).alias("prev_value"),
+                (F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value")))
+                .alias("changed"),
+            )
+        )
+
+    def q_backoff_rate_window(spark, sf):  # A1
+        ev = _t(spark, sf, "events")
+        mx = ev.agg(F.max("ts").alias("mx"))
+        return (
+            ev.crossJoin(mx)
+            .where(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+            .groupBy(F.concat(F.lit("host"), (F.col("user_id") % 20).cast("string")).alias("domain"))
+            .agg(F.count("*").alias("nb_req"))
+            .withColumn("backoff", F.col("nb_req") >= 50)
+        )
+
+    def q_next_check_ladder(spark, sf):  # C10
+        o = _t(spark, sf, "orders")
+        now = F.to_timestamp(F.lit(NOW))
+        # o_orderdate arrives as TIMESTAMP_NTZ; hop through timestamp (UTC
+        # session) for epoch arithmetic
+        since_h = (
+            now.cast("long") - F.col("o_orderdate").cast("timestamp").cast("long")
+        ) / 3600.0
+        ladder = F.lit(DELAYS[-1])
+        for d in reversed(DELAYS):
+            ladder = F.when(since_h <= d, F.lit(d)).otherwise(ladder)
+        return o.select(
+            "o_orderkey",
+            ladder.cast("int").alias("delay_hours"),
+            F.date_format(
+                now + F.make_interval(hours=ladder), "yyyy-MM-dd HH:mm:ss"
+            ).alias("next_check_s"),
+        )
+
+    def q_status_counts(spark, sf):  # A4
+        return (
+            _t(spark, sf, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count("*").alias("count"))
+        )
+
+    def q_checks_aggregate_topk(spark, sf):  # A3/W4
+        return (
+            _t(spark, sf, "events")
+            .groupBy(F.col("event_type").alias("value"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), "value")
+            .limit(20)
+        )
+
+    def q_crawler_status_sums(spark, sf):  # A5
+        return _t(spark, sf, "orders").agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("open_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("finished"),
+            F.sum(
+                F.when(F.col("o_orderdate") <= F.lit("1995-06-01"), 1).otherwise(0)
+            ).alias("due"),
+        )
+
+    def q_percent_of_total(spark, sf):  # A8/W5
+        w = Window.partitionBy()
+        return (
+            _t(spark, sf, "customer")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("count"))
+            .withColumn(
+                "percentage",
+                F.round(F.col("count") * 100.0 / F.sum("count").over(w), 2).cast("double"),
+            )
+        )
+
+    def q_excluded_filter(spark, sf):  # F1
+        from hydra_spark.functions.urls import excluded_clause
+
+        docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
+        return docs.where(
+            excluded_clause(("http%geo.data.gouv.fr%", "%?format=shp%"))
+        ).select("doc_id", "url")
+
+    def q_tier_selection(spark, sf):  # §2.4 tiers + deterministic order
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
+        tier = (
+            F.when(d % 97 == 0, F.lit(0))
+            .when(d % 5 == 0, F.lit(1))
+            .when(d % 3 == 0, F.lit(2))
+            .otherwise(F.lit(None).cast("int"))
+        )
+        return (
+            docs.withColumn("tier", tier)
+            .where(F.col("tier").isNotNull())
+            .withColumn("rnd", F.md5(d.cast("string").cast("binary")))
+            .orderBy("tier", "rnd")
+            .limit(40)
+            .select("doc_id", "tier", "url")
+        )
+
+    def q_canonicalize(spark, sf):  # C1/C16
+        d = F.col("doc_id")
+        messy = (
+            F.when(d % 3 == 0,
+                   F.concat(F.lit("HTTPS://Host"), (d % 20).cast("string"),
+                            F.lit(".Example.COM:443/p/"), d.cast("string")))
+            .when(d % 3 == 1,
+                  F.concat(F.lit("http://host"), (d % 20).cast("string"),
+                           F.lit(".example.com:80/q?id="), d.cast("string")))
+            .otherwise(F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                                F.lit(".example.com/r/"), d.cast("string"), F.lit("#frag")))
+        )
+        docs = _t(spark, sf, "documents").withColumn("url", messy)
+        canon = canonicalize_url("url")
+        return docs.select(
+            "doc_id",
+            canon.alias("canonical"),
+            F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^/:?]+)", 1).alias("domain"),
+        )
+
+    def q_md5_naming(spark, sf):  # C2
+        docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
+        return docs.select(
+            "doc_id", F.md5(F.encode("url", "UTF-8")).alias("parsing_table")
+        )
+
+    def q_content_type(spark, sf):  # C5
+        p = _t(spark, sf, "part")
+        ct = F.concat(F.lit("text/"), F.lower("p_brand"), F.lit("; charset=utf-8"))
+        return p.select("p_partkey", content_type_base(ct).alias("content_type"))
+
+    def q_json_header_access(spark, sf):  # C6
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+
+    def q_stuck_semi_join(spark, sf):  # J4 (semi/anti joins)
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+        return o.join(li, "o_orderkey", "left_anti").select("o_orderkey", "o_orderstatus")
+
+    def q_orphan_purge(spark, sf):  # SO1
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+        return p.join(li, "p_partkey", "left_anti").select("p_partkey", "p_name")
+
+    def q_upsert_latest(spark, sf):  # J6/SO2
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"))
+        )
+
+    def q_profile(spark, sf):  # A9
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.round(F.min("l_quantity"), 4).alias("min_qty"),
+                F.round(F.max("l_quantity"), 4).alias("max_qty"),
+                F.round(F.mean("l_quantity"), 4).alias("mean_qty"),
+                F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def q_exact_dedup(spark, sf):  # ml dedup (exact)
+        docs = _t(spark, sf, "documents")
+        h = F.md5(F.encode(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), "UTF-8"))
+        return (
+            docs.withColumn("content_hash", h)
+            .groupBy("content_hash")
+            .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        )
+
+    def q_token_quality(spark, sf):  # ml text quality
+        docs = _t(spark, sf, "documents")
+        t = F.col("text")
+        n_chars = F.length(t)
+        trimmed = F.trim(t)
+        n_tokens = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+        safe = F.greatest(n_chars, F.lit(1)).cast("double")
+        return docs.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.coalesce(F.regexp_count(t, F.lit(r"\w+|[^\w\s]")), F.lit(0)).alias("n_bpe_tokens"),
+            F.round(F.coalesce(F.regexp_count(t, F.lit(r"[0-9]")), F.lit(0)) / safe, 6)
+            .alias("digit_ratio"),
+            F.round(F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0)) / safe, 6)
+            .alias("punct_ratio"),
+        )
+
+    def q_langid(spark, sf):  # ml language-ID heuristic
+        docs = _t(spark, sf, "documents")
+        en = F.coalesce(F.regexp_count("text", F.lit(_STOP_EN)), F.lit(0))
+        fr = F.coalesce(F.regexp_count("text", F.lit(_STOP_FR)), F.lit(0))
+        lang = (
+            F.when((en + fr) == 0, F.lit("unknown"))
+            .when(en > fr, F.lit("en"))
+            .when(fr > en, F.lit("fr"))
+            .otherwise(F.lit("unknown"))
+        )
+        return docs.select("doc_id", en.alias("en_hits"), fr.alias("fr_hits"), lang.alias("lang_detected"))
+
+    def q_cosine_topk(spark, sf):  # ml similarity (brute force)
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        return similarity.cosine_topk(
+            emb, queries_df.withColumnRenamed("qv", "embedding"), k=5
+        ).withColumn("cosine", F.round("cosine", 4))
+
+    def q_geojson_coords(spark, sf):  # C14
+        from hydra_spark.exports.geojson import latlon_to_lonlat
+
+        c = _t(spark, sf, "customer")
+        latlon = F.concat(
+            F.lit("("), (F.col("c_custkey") % 90).cast("string"),
+            F.lit(", "), ((F.col("c_nationkey") * 7) % 180).cast("string"), F.lit(")"),
+        )
+        lonlat = latlon_to_lonlat(latlon)
+        return c.select(
+            "c_custkey", lonlat[0].alias("lon"), lonlat[1].alias("lat")
+        )
+
+    def q_cors_classification(spark, sf):  # A8 two-level agg
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy()
+        per_user = ev.groupBy("user_id").agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click")
+        )
+        return (
+            per_user.withColumn(
+                "cls", F.when(F.col("has_click") == 1, F.lit("clicker")).otherwise(F.lit("lurker"))
+            )
+            .groupBy("cls")
+            .agg(F.count("*").alias("count"))
+            .withColumn(
+                "percentage",
+                F.round(F.col("count") * 100.0 / F.sum("count").over(w), 2).cast("double"),
+            )
+        )
+
+    # ---- rows-only (no SQL oracle): hash/LSH/stateful ops -------------------
+
+    def q_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", mltext.fingerprint("text").alias("fingerprint"))
+
+    def q_minhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.minhash_lsh_candidates(docs, k=16, bands=4)
+
+    def q_simhash(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.simhash(docs).select("doc_id", "simhash")
+
+    def q_ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ann_topk(emb, queries_df, k=5, n_planes=8, probes=2, tables=4)
+
+    def q_bloom_seen(spark, sf):
+        from hydra_spark.seen import BloomSeenSet
+
+        docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
+        seen = BloomSeenSet(n_shards=16)
+        shards = seen.build(docs.select("url"))
+        return seen.check(docs.select("url"), shards).select("url", "seen")
+
+    def q_crawl_round(spark, sf):
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.loop import init_state, run_crawl
+        from hydra_spark.datagen import generate_frontier
+        from hydra_spark.storage import StateStore
+
+        pages = _docs_pages(spark, sf)
+        frontier = generate_frontier(spark, pages)
+        store = StateStore(tempfile.mkdtemp(prefix="hydra_q_"))
+        init_state(store, frontier)
+        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100), rounds=2)
+        return store.checks.read(spark).select(
+            "resource_id", "url", "domain", "status", "checksum", "filesize"
+        )
+
+    def q_multimodal_features(spark, sf):
+        from hydra_spark.ml.multimodal import extract_features, synthetic_assets
+
+        assets = synthetic_assets(spark, 200)
+        return extract_features(assets, fake=True)
+
+    return {
+        "latest_check": q_latest_check,
+        "last_two_change": q_last_two_change,
+        "backoff_rate_window": q_backoff_rate_window,
+        "next_check_ladder": q_next_check_ladder,
+        "status_counts": q_status_counts,
+        "checks_aggregate_topk": q_checks_aggregate_topk,
+        "crawler_status_sums": q_crawler_status_sums,
+        "percent_of_total": q_percent_of_total,
+        "excluded_filter": q_excluded_filter,
+        "tier_selection": q_tier_selection,
+        "canonicalize": q_canonicalize,
+        "md5_naming": q_md5_naming,
+        "content_type": q_content_type,
+        "json_header_access": q_json_header_access,
+        "stuck_semi_join": q_stuck_semi_join,
+        "orphan_purge": q_orphan_purge,
+        "upsert_latest": q_upsert_latest,
+        "profile": q_profile,
+        "exact_dedup": q_exact_dedup,
+        "token_quality": q_token_quality,
+        "langid": q_langid,
+        "cosine_topk": q_cosine_topk,
+        "geojson_coords": q_geojson_coords,
+        "cors_classification": q_cors_classification,
+        # rows-only below
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "bloom_seen": q_bloom_seen,
+        "crawl_round": q_crawl_round,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = _STOP_EN.replace("'", "''") if "'" in _STOP_EN else _STOP_EN
+    stop_fr = _STOP_FR
+    return {
+        "latest_check": f"""
+            SELECT user_id, event_id AS latest_event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "last_two_change": """
+            SELECT user_id,
+                   round(value, 6) AS cur_value,
+                   round(prev_value, 6) AS prev_value,
+                   (prev_value IS NOT NULL AND value <> prev_value) AS changed
+            FROM (SELECT user_id, value,
+                         lead(value) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS prev_value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "backoff_rate_window": """
+            SELECT 'host' || CAST(user_id % 20 AS VARCHAR) AS domain,
+                   count(*) AS nb_req,
+                   count(*) >= 50 AS backoff
+            FROM events
+            WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+            GROUP BY 1
+        """,
+        "next_check_ladder": f"""
+            SELECT o_orderkey,
+                   CAST(delay AS INT) AS delay_hours,
+                   strftime(TIMESTAMP '{NOW}' + delay * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS next_check_s
+            FROM (
+              SELECT o_orderkey,
+                     CASE WHEN since_h <= 12 THEN 12 WHEN since_h <= 24 THEN 24
+                          WHEN since_h <= 168 THEN 168 ELSE 720 END AS delay
+              FROM (SELECT o_orderkey,
+                           (epoch(TIMESTAMP '{NOW}') - epoch(o_orderdate)) / 3600.0 AS since_h
+                    FROM orders))
+        """,
+        "status_counts": """
+            SELECT o_orderstatus AS status, count(*) AS count FROM orders GROUP BY 1
+        """,
+        "checks_aggregate_topk": """
+            SELECT event_type AS value, count(*) AS count
+            FROM events GROUP BY 1 ORDER BY count DESC, value LIMIT 20
+        """,
+        "crawler_status_sums": """
+            SELECT count(*) AS total,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
+                   sum(CASE WHEN o_orderdate <= TIMESTAMP '1995-06-01 00:00:00' THEN 1 ELSE 0 END) AS due
+            FROM orders
+        """,
+        "percent_of_total": """
+            SELECT c_mktsegment AS segment, count(*) AS count,
+                   CAST(round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS DOUBLE) AS percentage
+            FROM customer GROUP BY 1
+        """,
+        "excluded_filter": f"""
+            SELECT doc_id, url FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+            WHERE url NOT LIKE 'http%geo.data.gouv.fr%' AND url NOT LIKE '%?format=shp%'
+        """,
+        "tier_selection": f"""
+            SELECT doc_id, tier, url FROM (
+              SELECT doc_id, url,
+                     CASE WHEN doc_id % 97 = 0 THEN 0 WHEN doc_id % 5 = 0 THEN 1
+                          WHEN doc_id % 3 = 0 THEN 2 END AS tier,
+                     md5(CAST(doc_id AS VARCHAR)) AS rnd
+              FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents))
+            WHERE tier IS NOT NULL ORDER BY tier, rnd LIMIT 40
+        """,
+        "canonicalize": """
+            SELECT doc_id, canonical,
+                   regexp_extract(canonical, '^[a-z][a-z0-9+.\\-]*://([^/:?]+)', 1) AS domain
+            FROM (
+              SELECT doc_id,
+                     lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) || '://' ||
+                     CASE
+                       WHEN lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) = 'http'
+                         THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':80$', '')
+                       WHEN lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) = 'https'
+                         THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)), ':443$', '')
+                       ELSE lower(regexp_extract(rest, '^([^/?]+)', 1))
+                     END ||
+                     CASE WHEN regexp_replace(rest, '^[^/?]+', '') = '' THEN '/'
+                          ELSE regexp_replace(rest, '^[^/?]+', '') END AS canonical
+              FROM (
+                SELECT doc_id, nofrag,
+                       regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rest
+                FROM (
+                  SELECT doc_id, regexp_replace(messy, '#.*$', '') AS nofrag
+                  FROM (
+                    SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Host' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR)
+                           WHEN doc_id % 3 = 1 THEN 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com:80/q?id=' || CAST(doc_id AS VARCHAR)
+                           ELSE 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/r/' || CAST(doc_id AS VARCHAR) || '#frag'
+                      END AS messy
+                    FROM documents))))
+        """,
+        "md5_naming": f"""
+            SELECT doc_id, md5(url) AS parsing_table
+            FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)
+        """,
+        "content_type": """
+            SELECT p_partkey,
+                   trim(split_part('text/' || lower(p_brand) || '; charset=utf-8', ';', 1)) AS content_type
+            FROM part
+        """,
+        "json_header_access": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val FROM events
+        """,
+        "stuck_semi_join": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        """,
+        "orphan_purge": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "upsert_latest": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+                  FROM orders) WHERE rn = 1
+        """,
+        "profile": """
+            SELECT l_returnflag,
+                   CAST(round(min(l_quantity), 4) AS DOUBLE) AS min_qty,
+                   CAST(round(max(l_quantity), 4) AS DOUBLE) AS max_qty,
+                   CAST(round(avg(l_quantity), 4) AS DOUBLE) AS mean_qty,
+                   CAST(round(stddev(l_quantity), 4) AS DOUBLE) AS std_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   count(*) AS n_dups, min(doc_id) AS canonical_id
+            FROM documents GROUP BY 1
+        """,
+        "token_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+                   CAST(round(len(regexp_extract_all(text, '[0-9]')) /
+                        CAST(greatest(length(text), 1) AS DOUBLE), 6) AS DOUBLE) AS digit_ratio,
+                   CAST(round(len(regexp_extract_all(text, '[^\w\s]')) /
+                        CAST(greatest(length(text), 1) AS DOUBLE), 6) AS DOUBLE) AS punct_ratio
+            FROM documents
+        """,
+        "langid": f"""
+            SELECT doc_id, en_hits, fr_hits,
+                   CASE WHEN en_hits + fr_hits = 0 THEN 'unknown'
+                        WHEN en_hits > fr_hits THEN 'en'
+                        WHEN fr_hits > en_hits THEN 'fr'
+                        ELSE 'unknown' END AS lang_detected
+            FROM (SELECT doc_id,
+                         len(regexp_extract_all(text, '{_STOP_EN}')) AS en_hits,
+                         len(regexp_extract_all(text, '{_STOP_FR}')) AS fr_hits
+                  FROM documents)
+        """,
+        "cosine_topk": """
+            SELECT query_id, neighbor_id, CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q)
+            WHERE rank <= 5
+        """,
+        "geojson_coords": """
+            SELECT c_custkey,
+                   CAST(((c_nationkey * 7) % 180) AS DOUBLE) AS lon,
+                   CAST((c_custkey % 90) AS DOUBLE) AS lat
+            FROM customer
+        """,
+        "cors_classification": """
+            SELECT cls, count(*) AS count,
+                   CAST(round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS DOUBLE) AS percentage
+            FROM (SELECT user_id,
+                         CASE WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+                              THEN 'clicker' ELSE 'lurker' END AS cls
+                  FROM events GROUP BY user_id)
+            GROUP BY cls
+        """,
+    }

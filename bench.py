@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line.
+
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  HYDRA_BENCH_MODE    "full" (default) | "crawl" (crawl throughput only,
+                      used by scripts/bench_scaling.py at two
+                      parallelism levels)
+
+The crawl benchmark synthesizes a deterministic pages corpus
+(seed-fixed, scale tied to sf) and runs frontier rounds at a large
+batch size; URLs/s is the north metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def force(df) -> int:
+    """Force full execution without collecting to the driver."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = os.environ.get("HYDRA_BENCH_MODE", "full")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hydra_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 8), app="hydra_bench")
+
+    import __spark_entry__ as entry
+    from hydra_spark.config import DEFAULT
+    from hydra_spark.crawl.loop import init_state, run_crawl
+    from hydra_spark.datagen import generate_frontier, generate_pages
+    from hydra_spark.storage import StateStore
+
+    timings: dict[str, float] = {}
+
+    # ---- crawl throughput (the north metric) ---------------------------
+    n_urls = max(int(2_000_000 * sf), 20_000)
+    rounds = 2
+    batch = n_urls // (rounds + 1)
+    pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 2000), 50))
+    pages = pages.repartition(max(cpus, 8)).persist()
+    pages.count()  # materialize outside the timed section
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(tempfile.mkdtemp(prefix="hydra_bench_"))
+    init_state(store, frontier)
+    cfg = DEFAULT.with_(batch_size=batch, backoff_nb_req=10**9)
+
+    t0 = time.time()
+    res = run_crawl(spark, store, pages, cfg, rounds=rounds)
+    crawl_wall = time.time() - t0
+    n_checked = sum(r["n_checked"] for r in res)
+    timings["crawl_rounds"] = round(crawl_wall, 3)
+    urls_per_s = round(n_checked / crawl_wall, 2)
+
+    if mode == "full":
+        # ---- headline operator queries at sf ---------------------------
+        q = entry.queries()
+        bench_queries = [
+            "latest_check", "last_two_change", "next_check_ladder",
+            "checks_aggregate_topk", "percent_of_total", "tier_selection",
+            "canonicalize", "profile", "exact_dedup", "token_quality",
+            "langid", "cosine_topk", "fingerprint", "minhash_pairs",
+            "simhash", "ann_topk", "bloom_seen", "multimodal_features",
+        ]
+        for name in bench_queries:
+            t0 = time.time()
+            force(q[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "crawl": {
+            "n_urls_checked": n_checked,
+            "rounds": rounds,
+            "batch_size": batch,
+            "wall_s": round(crawl_wall, 3),
+            "urls_per_s": urls_per_s,
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,10 +66,16 @@ def simulate_fetch(
         .otherwise(F.lit(None).cast("string"))
     )
 
-    # mime: sniff leading bytes (magic-equivalent, utils/file.py:94-113)
-    head16 = F.decode(F.substring(F.col("html"), 1, 16), "UTF-8")
+    # mime: sniff leading bytes (magic-equivalent, utils/file.py:94-113):
+    # html marker → text/html; a first line with ≥2 commas followed by
+    # more lines → text/csv; anything else → text/plain
+    head = F.decode(F.substring(F.col("html"), 1, 200), "UTF-8")
+    first_line = F.split(head, "\n")[0]
+    looks_csv = (F.size(F.split(first_line, ",")) >= 3) & (F.instr(head, "\n") > 0)
     mime = F.when(~found, F.lit(None).cast("string")).otherwise(
-        F.when(head16.startswith("<html"), F.lit("text/html")).otherwise(F.lit("text/csv"))
+        F.when(head.startswith("<html"), F.lit("text/html"))
+        .when(looks_csv, F.lit("text/csv"))
+        .otherwise(F.lit("text/plain"))
     )
 
     ok = status.isNotNull() & (status < 400)

@@ -158,7 +158,11 @@ def run_round(
     # ---- checks append (fill analysis-only fields with NULLs) ----------
     have = set(cur.columns)
     check_cols = [
-        (F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name))
+        (
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+        )
         for f in CHECKS_SCHEMA.fields
     ]
     checks_batch = cur.select(*check_cols)

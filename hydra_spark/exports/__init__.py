@@ -1,0 +1,11 @@
+"""Export sinks (SURVEY.md §2.1 S11-S13; reference:
+udata_hydra/data_formats/table/to_parquet.py, to_geojson.py,
+csv_like/to_geojson.py)."""
+
+from hydra_spark.exports.parquet import export_parquet  # noqa: F401
+from hydra_spark.exports.geojson import (  # noqa: F401
+    detect_geo_columns,
+    export_geojson,
+    geojson_features,
+    latlon_to_lonlat,
+)

@@ -1,0 +1,242 @@
+"""Deduplication family for web-text corpora.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash (bit voting), n-gram Jaccard verification, embedding
+cosine near-dup. Scale notes:
+
+- exact dedup is ONE shuffle on a 64-bit hash (not the text itself).
+- MinHash signatures are computed entirely JVM-side: k seeded xxhash64
+  passes over the shingle array (`transform` + `array_min`).
+- LSH banding turns all-pairs O(n²) into a groupBy per band; candidate
+  pairs are verified with exact Jaccard on token sets. Hot buckets
+  (boilerplate shingles) are capped to bound the self-join.
+- SimHash bit-voting is numpy over Spark-computed token hashes — the
+  only Python stage, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hydra_spark.ml.text import shingles
+
+
+def normalized(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adds (content_hash, dup_group_size, is_canonical): canonical = min
+    id per normalized-content hash. One shuffle, map-side combinable."""
+    h = F.md5(normalized(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("dup_group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return exact_duplicates(df, text_col, id_col).where("is_canonical").drop(
+        "dup_group_size", "is_canonical"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column | str, k: int = 32, ngram: int = 3, seed: int = 42) -> Column:
+    """array<long> of k min-hashes over word shingles — JVM-side."""
+    sh = shingles(text, ngram)
+    sigs = [F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))) for i in range(k)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
+
+    bands × rows = k; same band hash in any band → candidate. Buckets
+    larger than `max_bucket` (boilerplate) are dropped — logged upstream
+    as a coverage cap rather than exploding the self-join.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"), minhash_signature(text_col, k, seed=seed).alias("sig")
+    )
+    band_cols = [
+        F.xxhash64(F.array_join(F.transform(
+            F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
+        ), ","), F.lit(b)).alias("band_hash")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
+    )
+    w = Window.partitionBy("band", "band_hash")
+    banded = banded.withColumn("_bn", F.count("*").over(w)).where(
+        (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)
+    )
+    a = banded.select("band", "band_hash", F.col("_id").alias("id_a"))
+    b = banded.select("band", "band_hash", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(shingles(text_col, ngram)).alias("toks")
+    )
+    j = (
+        pairs.join(toks.withColumnRenamed("_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(toks.withColumnRenamed("_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn("uni", F.size(F.array_union("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that matches a lower-id doc above
+    the Jaccard threshold is removed (connected components approximated
+    by min-id anchoring — standard single-pass web-dedup)."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
+    dups = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_OUT = T.LongType()
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: token hashes computed JVM-side (xxhash64 per
+    word), bit voting in numpy (Arrow-batched pandas UDF)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashed = df.withColumn("_whashes", F.transform(words, lambda w: F.xxhash64(w)))
+
+    @F.pandas_udf(_SIMHASH_OUT)
+    def vote(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            a = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            votes = (bits.sum(axis=0) * 2 > len(a)).astype(np.uint64)
+            out[i] = (votes << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+        return pd.Series(out)
+
+    return hashed.withColumn("simhash", vote("_whashes")).drop("_whashes")
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit chunks (any chunk
+    equal → candidate, guaranteed to catch hamming ≤ 3 pairs... sic:
+    ≤ 3 differing bits can't hit all 4 chunks), verify with popcount."""
+    sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+        .alias(f"c{c}")
+        for c in range(4)
+    ]
+    blocked = sh.select("_id", "simhash", F.posexplode(F.array(*chunks)).alias("chunk", "chunk_val"))
+    a = blocked.select("chunk", "chunk_val", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select("chunk", "chunk_val", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["chunk", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH blocking + exact
+    cosine verify. Plane projections run in numpy (one matmul per Arrow
+    batch); the bucket join and cosine verify are JVM-side."""
+    from hydra_spark.ml.similarity import hyperplane_signature
+
+    sig = hyperplane_signature(df, vec_col, n_planes=n_planes, seed=seed)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _cosine(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )

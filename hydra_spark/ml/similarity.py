@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Dot products are
+  pure column expressions (`zip_with` + `aggregate`) over a broadcast
+  query set; ranking is a window top-k.
+- LSH-bucketed ANN (random hyperplanes): the scale path. Signatures
+  are one numpy matmul per Arrow batch; search only touches matching
+  buckets (multi-probe over 1-bit flips to recover recall).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set
+    against the corpus — no corpus shuffle at all; the only shuffle is
+    the final per-query top-k window."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.join(F.broadcast(q)).withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """Adds an int `bucket`: sign pattern of `n_planes` random
+    hyperplane projections (deterministic from seed; same seed ⇒
+    comparable buckets across DataFrames)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def project(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = mat.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, n_planes))
+        bits = (mat @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return df.withColumn("bucket", project(F.col(vec_col)))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    probes: int = 2,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent hyperplane hash tables
+    (the standard L-table LSH recall lever), each additionally
+    multi-probed with 1-bit flips on the first `probes` planes.
+    Candidates = union over tables; exact cosine + window top-k on the
+    candidate set only. Scanned fraction ≈ tables·(probes+1)/2^n_planes."""
+    cands = []
+    for t in range(tables):
+        c = hyperplane_signature(corpus, vec_col, n_planes, seed + 101 * t).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+            "bucket",
+        )
+        q = hyperplane_signature(queries, vec_col, n_planes, seed + 101 * t).select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            "bucket",
+        )
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(probes, n_planes))],
+        )
+        qx = q.select("query_id", "_qv", F.explode(probe_buckets).alias("bucket"))
+        cands.append(qx.join(c, "bucket").select("query_id", "neighbor_id", "_qv", "_cv"))
+    allc = cands[0]
+    for c in cands[1:]:
+        allc = allc.unionByName(c)
+    scored = allc.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cosine", cosine(F.col("_cv"), F.col("_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

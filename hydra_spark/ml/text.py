@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines — pure column expressions.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword / digit ratios), token counting (whitespace + BPE-ish regex),
+document fingerprinting (min-shingle rolling hash). Everything is
+whole-stage-codegen'd; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EN_STOP = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"]
+_FR_STOP = ["le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"]
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Total occurrences of any stopword as a whole word."""
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.coalesce(F.regexp_count(text, F.lit(pat)), F.lit(0))
+
+
+def language_id(text: Column | str) -> Column:
+    """'en' / 'fr' / 'unknown' by stopword-hit majority — the classic
+    cheap n-gram/dictionary heuristic."""
+    t = F.col(text) if isinstance(text, str) else text
+    en = _stopword_hits(t, _EN_STOP)
+    fr = _stopword_hits(t, _FR_STOP)
+    return (
+        F.when((en + fr) == 0, F.lit("unknown"))
+        .when(en > fr, F.lit("en"))
+        .when(fr > en, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish estimate: word pieces + punctuation, the standard
+    `\\w+|[^\\w\\s]` pre-tokenizer."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(F.regexp_count(t, F.lit(r"\w+|[^\w\s]")), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / ratio features + a composite [0,1] quality score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.coalesce(F.regexp_count(t, F.lit(r"[^\w\s]")), F.lit(0))
+    n_digit = F.coalesce(F.regexp_count(t, F.lit(r"[0-9]")), F.lit(0))
+    n_stop = _stopword_hits(t, _EN_STOP + _FR_STOP)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(n_punct / safe, 6))
+        .withColumn("digit_ratio", F.round(n_digit / safe, 6))
+        .withColumn(
+            "stopword_ratio",
+            F.round(n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(safe / F.greatest(n_tokens, F.lit(1)).cast("double"), 6),
+        )
+    )
+    # composite: long enough, some stopwords, not digit/punct soup
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.15
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.15
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (lowercased)."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def fingerprint(text: Column | str, n: int = 3, seed: int = 7) -> Column:
+    """Document fingerprint: min xxhash64 over word shingles (the
+    min-wise rolling-hash fingerprint; equal texts → equal prints,
+    near-equal texts → equal with prob ≈ jaccard)."""
+    sh = shingles(text, n)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
+def text_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop per-document report used by the pipeline."""
+    return quality_features(df, text_col).select(
+        "*",
+        language_id(text_col).alias("lang_detected"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

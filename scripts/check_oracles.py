@@ -1,0 +1,84 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() twin on DuckDB at sf0.01,
+compare row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hydra_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8, app="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sorted(sdf.columns)
+        if name not in oracles:
+            print(f"  {name:28s} rows-only: {len(srows)} rows, cols={scols}")
+            continue
+        ddf = con.sql(oracles[name])
+        dcols_raw = [c for c in ddf.columns]
+        drows = ddf.fetchall()
+        dcols = sorted(dcols_raw)
+        ok_cols = scols == dcols
+        s_ms = Counter(
+            tuple(norm(r[c]) for c in scols) for r in (row.asDict() for row in srows)
+        )
+        d_ms = Counter(
+            tuple(norm(dict(zip(dcols_raw, row))[c]) for c in dcols) for row in drows
+        )
+        ok = ok_cols and s_ms == d_ms
+        status = "OK " if ok else "FAIL"
+        print(f"  {name:28s} {status} spark={len(srows)} duck={len(drows)} cols_match={ok_cols}")
+        if not ok:
+            failures.append(name)
+            only_s = list((s_ms - d_ms).items())[:3]
+            only_d = list((d_ms - s_ms).items())[:3]
+            print(f"    spark-only: {only_s}")
+            print(f"    duck-only : {only_d}")
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,167 @@
+"""Training-data ops: text analysis, dedup family, similarity, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hydra_spark.ml import dedup, similarity, text
+from hydra_spark.ml.multimodal import extract_features, sample_frames, synthetic_assets
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+# ---- text -----------------------------------------------------------------
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm"),
+         (2, "le chat est dans la maison et il est content"),
+         (3, "xyzzy 12345 @@@@")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", text.language_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "unknown"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello, world! 42"), (2, ""), (3, "  a  b  ")], "id long, text string")
+    rows = {r["id"]: (r["tc"], r["bpe"]) for r in df.select(
+        "id", text.token_count("text").alias("tc"), text.bpe_ish_token_count("text").alias("bpe")
+    ).collect()}
+    assert rows[1] == (3, 5)  # hello , world ! 42 → 5 bpe-ish pieces
+    assert rows[2] == (0, 0)
+    assert rows[3][0] == 2
+
+
+def test_quality_and_fingerprint(spark, docs):
+    rep = text.text_report(docs.limit(50))
+    rows = rep.collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    # identical text → identical fingerprint
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")], "id long, text string")
+    f = df.select(text.fingerprint("text").alias("fp")).collect()
+    assert f[0]["fp"] == f[1]["fp"]
+
+
+# ---- dedup ------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated text")],
+        "doc_id long, text string",
+    )
+    kept = dedup.exact_dedup(df).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # 60 distinct words, one changed → shingle-jaccard ≈ 0.9 →
+    # P(≥1 of 8 bands matches) ≈ 0.9998
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "changed")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_candidates(df, k=32, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    verified = dedup.jaccard_verify(df, pairs, threshold=0.5)
+    vg = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in vg and (1, 3) not in vg
+    deduped = dedup.minhash_dedup(df, threshold=0.5)
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3]
+
+
+def test_simhash_near_dups(spark):
+    # 1 of 80 tokens changed → hamming 2; disjoint vocab → hamming ~39
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base.replace("tok40 ", "changed ")
+    far = " ".join(f"oth{i}" for i in range(80))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = dedup.simhash_near_dups(df, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_embedding_near_dups(spark, emb):
+    # duplicate a vector with a tiny perturbation
+    a = emb.limit(1).select(F.lit(100001).alias("vec_id"), "embedding")
+    df = emb.select("vec_id", "embedding").unionByName(a)
+    pairs = dedup.embedding_near_dups(df, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    first_id = emb.first()["vec_id"]
+    assert (first_id, 100001) in got
+
+
+# ---- similarity --------------------------------------------------------------
+
+def test_cosine_topk_self_is_nearest(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = similarity.cosine_topk(emb, queries, k=5)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in res.where("rank = 1").collect()}
+    assert all(q == n for q, n in top1.items())
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """LSH recall is only meaningful when neighbors exist: plant 20
+    clusters of 25 vectors (intra-cluster cosine ≈ 0.95) and require
+    the ANN to recover the exact top-5."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    for i in range(500):
+        c = centers[i % 20]
+        v = c + 0.15 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(df, queries, k=5)
+    approx = similarity.ann_topk(df, queries, k=5, n_planes=8, probes=2, tables=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
+
+
+def test_ann_self_recall_on_random_data(spark, emb):
+    """On near-random embeddings ANN still always finds the vector
+    itself (identical signature in every table)."""
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = similarity.ann_topk(emb, queries, k=5, n_planes=8, probes=2, tables=4)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx.where("rank=1").collect()}
+    assert all(q == n for q, n in top1.items())
+
+
+# ---- multimodal ----------------------------------------------------------------
+
+def test_multimodal_features_and_frames(spark):
+    assets = synthetic_assets(spark, 30)
+    feats = extract_features(assets, fake=True).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 16 for r in feats)
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-5 for r in feats)
+    frames = sample_frames(assets, every_ms=1000, fake=True)
+    got = frames.groupBy("asset_id").count().collect()
+    assert got  # videos produced frames
+    meta = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.where("media_type='video'").collect()}
+    for r in got:
+        assert r["count"] == meta[r["asset_id"]] // 1000
+
+
+def test_multimodal_real_decode_raises(spark):
+    assets = synthetic_assets(spark, 3)
+    import pytest as _pt
+    with _pt.raises(Exception):
+        extract_features(assets, fake=False).collect()
