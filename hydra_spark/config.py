@@ -53,6 +53,9 @@ class HydraConfig:
 
     # ours: partitioning knobs for scale (SURVEY §2.4, §4 skew row)
     frontier_buckets: int = 64            # host-hash buckets of the frontier
+    # batches larger than this claim per-bucket quotas (fully parallel)
+    # instead of a global ORDER BY .. LIMIT (driver-side top-k)
+    bucket_claim_threshold: int = 10_000
     heavy_host_salt: int = 8              # extra salt shards for hot hosts
     heavy_host_threshold: int = 10_000    # rows per host before salting
     bloom_fpp: float = 0.01

@@ -35,6 +35,7 @@ def run_crawl(
     rounds: int = 1,
     start_now: str = "2025-01-15 00:00:00",
     round_interval_s: float = 60.0,
+    robots_rules=None,
 ) -> list[dict]:
     """Run `rounds` rounds, resuming after the last committed one."""
     start = datetime.strptime(start_now, TS_FMT)
@@ -42,5 +43,5 @@ def run_crawl(
     out = []
     for r in range(first, first + rounds):
         now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
-        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now))
+        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules))
     return out

@@ -24,6 +24,7 @@ from hydra_spark.crawl.backoff import domain_backoff, split_backoff
 from hydra_spark.crawl.change import detect_changes, has_check_changed_expr
 from hydra_spark.crawl.fetch import simulate_fetch
 from hydra_spark.crawl.next_check import next_check_expr
+from hydra_spark.crawl.robots import split_robots
 from hydra_spark.crawl.select_batch import select_batch
 from hydra_spark.schemas import CHECKS_SCHEMA
 from hydra_spark.storage import StateStore
@@ -60,6 +61,24 @@ def reset_stuck(frontier: DataFrame, cfg: HydraConfig, now: str) -> DataFrame:
     )
 
 
+def _robots_checks(blocked: DataFrame, round_id: int, now: str, cfg: HydraConfig) -> DataFrame:
+    """Error check rows for robots-disallowed URLs: never fetched,
+    re-eligible only after the maximum delay."""
+    from hydra_spark.crawl.robots import ROBOTS_ERROR
+
+    now_ts = F.to_timestamp(F.lit(now))
+    return (
+        blocked.withColumn("id", F.xxhash64(F.col("resource_id"), F.lit(round_id + 2_000_003)))
+        .withColumn("created_at", now_ts)
+        .withColumn("error", F.lit(ROBOTS_ERROR))
+        .withColumn("timeout", F.lit(False))
+        .withColumn(
+            "next_check_at",
+            now_ts + F.make_interval(hours=F.lit(cfg.check_delays_hours[-1])),
+        )
+    )
+
+
 def run_round(
     spark: SparkSession,
     store: StateStore,
@@ -67,16 +86,28 @@ def run_round(
     cfg: HydraConfig,
     round_id: int,
     now: str,
+    robots_rules: DataFrame | None = None,
 ) -> dict:
     t0 = time.time()
+    _tlast = [t0]
+    timings: dict[str, float] = {}
+
+    def _mark(name: str) -> None:
+        now_w = time.time()
+        timings[name] = round(now_w - _tlast[0], 3)
+        _tlast[0] = now_w
+
     frontier = store.frontier.read(spark)
     checks = store.checks.read(spark) if store.checks.exists() else None
     lc = latest_checks(checks) if checks is not None else None
 
     frontier = reset_stuck(frontier, cfg, now)
 
-    batch = select_batch(frontier, lc, cfg, round_id, now)
+    # persist the claim: it feeds the politeness split AND the fetch —
+    # without this the two selection windows recompute per consumer
+    batch = select_batch(frontier, lc, cfg, round_id, now).persist()
     go, held = split_backoff(batch, domain_backoff(checks, cfg, now))
+    go, robots_blocked = split_robots(go, robots_rules)
 
     fetched = simulate_fetch(go, pages, cfg, round_id, now)
 
@@ -120,6 +151,7 @@ def run_round(
         ),
     )
     cur = cur.persist()
+    _mark("plan")
 
     # ---- tabular analysis (work-avoidance-gated, §2.10) -----------------
     # parse changed/unknown CSV resources; record rows + tables_index
@@ -128,7 +160,9 @@ def run_round(
     )
     parsed = analyse_csv_batch(to_parse).persist()
     store.parsed_rows.append(parsed.where(F.col("row_json").isNotNull()), round_id=round_id)
+    _mark("analyse_write")
     store.tables_index.append(tables_index_entries(parsed, now), round_id=round_id)
+    _mark("tables_index_write")
     parse_errs = (
         parsed.where(F.col("parsing_error").isNotNull())
         .select(F.col("resource_id").alias("_erid"), F.col("parsing_error").alias("_perr"))
@@ -166,7 +200,23 @@ def run_round(
         for f in CHECKS_SCHEMA.fields
     ]
     checks_batch = cur.select(*check_cols)
+    if robots_blocked is not None:
+        rb = _robots_checks(robots_blocked, round_id, now, cfg)
+        rb_have = set(rb.columns)
+        checks_batch = checks_batch.unionByName(
+            rb.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in rb_have
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for f in CHECKS_SCHEMA.fields
+                ]
+            )
+        )
     store.checks.append(checks_batch, round_id=round_id)
+    _mark("checks_write")
 
     # ---- frontier MERGE (SO2): checked → last_check/status reset; -------
     # backed-off → status BACKOFF (Iceberg MERGE INTO analog)
@@ -175,6 +225,14 @@ def run_round(
         F.col("id").alias("_new_last_check"),
         F.lit("checked").alias("_upd"),
     )
+    if robots_blocked is not None:
+        updates = updates.unionByName(
+            _robots_checks(robots_blocked, round_id, now, cfg).select(
+                F.col("resource_id").alias("_urid"),
+                F.col("id").alias("_new_last_check"),
+                F.lit("checked").alias("_upd"),
+            )
+        )
     if held is not None:
         updates = updates.unionByName(
             held.select(
@@ -208,6 +266,7 @@ def run_round(
         .drop("_urid", "_new_last_check", "_upd")
     )
     store.frontier.commit(merged, round_id=round_id)
+    _mark("frontier_write")
 
     # ---- per-partition lineage + fetch metrics (north rule) ------------
     metrics = cur.groupBy("host_bucket", "domain").agg(
@@ -218,11 +277,18 @@ def run_round(
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
         F.sum(F.when(F.col("timeout"), 1).otherwise(0)).alias("n_timeout"),
         F.sum(F.when(F.col("change_status") == "changed", 1).otherwise(0)).alias("n_changed"),
-    )
+    ).persist()
     store.metrics.append(metrics, round_id=round_id)
+    _mark("metrics_write")
 
-    n_checked = cur.count()
+    # round totals come from the (tiny) metrics aggregate — no extra
+    # pass over the fetch DAG
+    n_checked = metrics.agg(F.sum("n_urls")).first()[0] or 0
     n_held = held.count() if held is not None else 0
+    n_robots = robots_blocked.count() if robots_blocked is not None else 0
+    _mark("counts")
+    metrics.unpersist()
+    batch.unpersist()
     cur.unpersist()
     parsed.unpersist()
     wall = time.time() - t0
@@ -231,8 +297,10 @@ def run_round(
         "now": now,
         "n_checked": n_checked,
         "n_backoff": n_held,
+        "n_robots_blocked": n_robots,
         "wall_s": round(wall, 3),
         "urls_per_s": round(n_checked / wall, 2) if wall > 0 else None,
+        "timings": timings,
     }
     store.commit_round(round_id, meta=summary)
     return summary

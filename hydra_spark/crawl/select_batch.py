@@ -81,11 +81,28 @@ def select_batch(
     w = Window.partitionBy("domain").orderBy("tier", "rnd", "resource_id")
     el = el.withColumn("host_rank", F.row_number().over(w))
 
-    return (
-        el.orderBy("host_rank", "tier", "rnd", "resource_id")
-        .limit(cfg.batch_size)
-        .select(
-            "dataset_id", "resource_id", "url", "priority", "harvest_modified_at",
-            "format", "host_bucket", "tier", "domain",
+    cols = [
+        "dataset_id", "resource_id", "url", "priority", "harvest_modified_at",
+        "format", "host_bucket", "tier", "domain",
+    ]
+    if cfg.batch_size <= cfg.bucket_claim_threshold:
+        # reference-exact semantics: global (host_rank, tier, random)
+        # order, one LIMIT — compiles to TakeOrderedAndProject (a
+        # driver-side top-k merge: fine for small k, serial for huge k)
+        return (
+            el.orderBy("host_rank", "tier", "rnd", "resource_id")
+            .limit(cfg.batch_size)
+            .select(*cols)
         )
+
+    # scale path — the salted per-host-partitioned priority queue (north
+    # rule): each host bucket claims an equal quota, ranked by the same
+    # (host_rank, tier, rnd) order. No global sort, no serial top-k;
+    # every stage downstream inherits ~frontier_buckets-way parallelism.
+    quota = -(-cfg.batch_size // cfg.frontier_buckets)  # ceil
+    wb = Window.partitionBy("host_bucket").orderBy("host_rank", "tier", "rnd", "resource_id")
+    return (
+        el.withColumn("bucket_rank", F.row_number().over(wb))
+        .where(F.col("bucket_rank") <= quota)
+        .select(*cols)
     )

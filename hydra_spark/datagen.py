@@ -62,6 +62,7 @@ def generate_pages(
                 F.when(pid % 101 == 7, F.concat(F.lit("/status/404/r"), pid.cast("string")))
                 .when(pid % 211 == 11, F.concat(F.lit("/status/429/r"), pid.cast("string")))
                 .when(pid % 307 == 17, F.concat(F.lit("/timeout/r"), pid.cast("string")))
+                .when(pid % 89 == 29, F.concat(F.lit("/private/r"), pid.cast("string")))
                 .otherwise(F.concat(F.lit("/r/"), pid.cast("string"))),
             )
         ),

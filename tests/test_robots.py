@@ -1,0 +1,48 @@
+"""robots.txt gating (north rule): disallowed URLs are never fetched,
+recorded as error checks, and deferred by the max delay."""
+
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.loop import init_state, run_crawl
+from hydra_spark.crawl.robots import ROBOTS_ERROR, split_robots, synthetic_robots_rules
+from hydra_spark.datagen import generate_frontier, generate_pages
+from hydra_spark.storage import StateStore
+
+
+def test_split_robots(spark):
+    batch = spark.createDataFrame(
+        [
+            ("r1", "https://a.com/private/x", "a.com"),
+            ("r2", "https://a.com/public/x", "a.com"),
+            ("r3", "https://b.com/private/x", "b.com"),
+        ],
+        "resource_id string, url string, domain string",
+    )
+    rules = spark.createDataFrame([("a.com", "/private/")], "domain string, disallow_prefix string")
+    allowed, blocked = split_robots(batch, rules)
+    assert {r["resource_id"] for r in blocked.collect()} == {"r1"}
+    assert {r["resource_id"] for r in allowed.collect()} == {"r2", "r3"}
+
+
+def test_round_with_robots(spark, tmp_path):
+    pages = generate_pages(spark, 1500, n_hosts=10).cache()
+    frontier = generate_frontier(spark, pages)
+    rules = synthetic_robots_rules(pages)
+    assert rules.count() > 0
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    res = run_crawl(
+        spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1, robots_rules=rules
+    )
+    assert res[0]["n_robots_blocked"] > 0
+    checks = store.checks.read(spark)
+    blocked = checks.where(checks.error == ROBOTS_ERROR).collect()
+    assert len(blocked) == res[0]["n_robots_blocked"]
+    ruled = {r["domain"] for r in rules.collect()}
+    for r in blocked:
+        assert "/private/" in r["url"] and r["domain"] in ruled
+        assert r["status"] is None and r["checksum"] is None
+    # no fetched check exists for a disallowed URL
+    fetched_private = checks.where(
+        checks.url.contains("/private/") & checks.error.isNull()
+    ).collect()
+    assert not [r for r in fetched_private if r["domain"] in ruled]
