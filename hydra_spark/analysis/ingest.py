@@ -48,6 +48,14 @@ ROWS_SCHEMA = T.StructType(
     ]
 )
 
+# combined per-round output: extracted text rows (kind='text') + parsed
+# csv rows (kind='row') from ONE pass over the fetched bytes
+OUTPUTS_SCHEMA = T.StructType(
+    [T.StructField("kind", T.StringType())]
+    + ROWS_SCHEMA.fields
+    + [T.StructField("text", T.StringType())]
+)
+
 
 def _json_default(v):
     if isinstance(v, (datetime, date)):
@@ -56,6 +64,7 @@ def _json_default(v):
 
 
 def _analyse_one(url: str, rid: str, did: str, data: bytes, table: str) -> list[tuple]:
+    data = _gunzip_if_needed(data)
     try:
         insp = inspect_csv(data)
     except ParsingError as e:
@@ -88,6 +97,65 @@ def _analyse_one(url: str, rid: str, did: str, data: bytes, table: str) -> list[
     if not out:  # header-only file: still record the inspection
         out.append((table, rid, did, url, 0, None, insp_json, None))
     return out
+
+
+def _gunzip_if_needed(data: bytes) -> bytes:
+    """Transparent gzip extraction (utils/file.py:37-43)."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            return gzip.decompress(data)
+        except OSError:
+            return data
+    return data
+
+
+def _extract_text_py(data: bytes) -> str:
+    """Single-document twin of analysis/extract.py's vectorized UDF —
+    MUST stay byte-identical with it (shared invariant)."""
+    import re
+
+    data = _gunzip_if_needed(data)
+    s = data.decode("utf-8", "replace")
+    if not s.startswith("<html"):
+        return s
+    m = re.search(r"<p>(.*)</p>", s)
+    if m:
+        return m.group(1)
+    return re.sub(r"\s+", " ", re.sub(r"<[^>]+>", " ", s)).strip()
+
+
+def process_fetched(df: DataFrame) -> DataFrame:
+    """ONE pass over the fetched bytes producing BOTH per-round outputs
+    (OUTPUTS_SCHEMA): extracted text per fetched document (kind='text')
+    and typed parsed rows for csv resources (kind='row').
+
+    df: (url, resource_id, dataset_id, html, parsing_table) — rows with
+    NULL parsing_table get text extraction only. Fusing the two outputs
+    halves the passes over the html bytes (they dominate round cost).
+    """
+    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in OUTPUTS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, rid, did, html, table in pdf[cols].itertuples(index=False):
+                if html is None:
+                    continue
+                data = bytes(html)
+                rows.append(
+                    ("text", None, rid, did, url, None, None, None, None,
+                     _extract_text_py(data))
+                )
+                if table is not None:
+                    rows.extend(
+                        ("row", *r, None) for r in _analyse_one(url, rid, did, data, table)
+                    )
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(*cols).mapInPandas(gen, schema=OUTPUTS_SCHEMA)
 
 
 def analyse_csv_batch(df: DataFrame) -> DataFrame:

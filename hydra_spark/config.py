@@ -56,6 +56,8 @@ class HydraConfig:
     # batches larger than this claim per-bucket quotas (fully parallel)
     # instead of a global ORDER BY .. LIMIT (driver-side top-k)
     bucket_claim_threshold: int = 10_000
+    # fold frontier merge-on-read deltas into the base every K rounds
+    compact_every_rounds: int = 10
     heavy_host_salt: int = 8              # extra salt shards for hot hosts
     heavy_host_threshold: int = 10_000    # rows per host before salting
     bloom_fpp: float = 0.01

@@ -40,11 +40,13 @@ def simulate_fetch(
 ) -> DataFrame:
     """Return one check row per batch row (CHECKS_SCHEMA columns plus
     the batch's passthrough columns prefixed as-is)."""
+    # only what the check derives from: warc_ts (last-modified) is folded
+    # into headers below and dropped; page text rides in `html` — carrying
+    # extra columns here doubles the bytes cached per round
     p = pages.select(
         F.col("url").alias("_purl"),
         F.col("warc_ts"),
         F.col("html"),
-        F.col("text").alias("page_text"),
     )
     df = batch.join(p, batch.url == p._purl, "left").drop("_purl")
 
@@ -67,13 +69,18 @@ def simulate_fetch(
     )
 
     # mime: sniff leading bytes (magic-equivalent, utils/file.py:94-113):
-    # html marker → text/html; a first line with ≥2 commas followed by
-    # more lines → text/csv; anything else → text/plain
-    head = F.decode(F.substring(F.col("html"), 1, 200), "UTF-8")
+    # gzip magic → application/gzip (transparent extraction downstream,
+    # utils/file.py:37-43); html marker → text/html; a first line with
+    # ≥2 commas followed by more lines → text/csv; else text/plain
+    is_gzip = F.hex(F.substring(F.col("html"), 1, 2)) == "1F8B"
+    # lenient UTF-8 (cast, not decode): gzip bodies are not valid UTF-8
+    # and Spark 4's decode() raises on malformed input
+    head = F.substring(F.col("html"), 1, 200).cast("string")
     first_line = F.split(head, "\n")[0]
     looks_csv = (F.size(F.split(first_line, ",")) >= 3) & (F.instr(head, "\n") > 0)
     mime = F.when(~found, F.lit(None).cast("string")).otherwise(
-        F.when(head.startswith("<html"), F.lit("text/html"))
+        F.when(is_gzip, F.lit("application/gzip"))
+        .when(head.startswith("<html"), F.lit("text/html"))
         .when(looks_csv, F.lit("text/csv"))
         .otherwise(F.lit("text/plain"))
     )
@@ -133,4 +140,5 @@ def simulate_fetch(
         .withColumn("mime_type", F.when(~is_timeout, mime))
         .withColumn("cors_headers", cors)
         .withColumn("method", method)
+        .drop("warc_ts")
     )

@@ -18,7 +18,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hydra_spark.analysis.ingest import analyse_csv_batch, tables_index_entries
+from hydra_spark.analysis.ingest import process_fetched, tables_index_entries
 from hydra_spark.config import HydraConfig
 from hydra_spark.crawl.backoff import domain_backoff, split_backoff
 from hydra_spark.crawl.change import detect_changes, has_check_changed_expr
@@ -26,6 +26,7 @@ from hydra_spark.crawl.fetch import simulate_fetch
 from hydra_spark.crawl.next_check import next_check_expr
 from hydra_spark.crawl.robots import split_robots
 from hydra_spark.crawl.select_batch import select_batch
+from hydra_spark.crawl.webhook import webhook_payloads
 from hydra_spark.schemas import CHECKS_SCHEMA
 from hydra_spark.storage import StateStore
 
@@ -139,27 +140,37 @@ def run_round(
         ),
     )
     # analysis gate (work avoidance, analysis/resource.py:93-133): only
-    # changed-or-unknown CSV resources get (re)parsed
+    # changed-or-unknown CSV(-ish) resources get (re)parsed; gzip bodies
+    # are extracted transparently downstream (utils/file.py:37-43);
+    # oversized downloads are refused (MAX_FILESIZE_ALLOWED,
+    # utils/file.py:46-115) and recorded as an analysis error
+    size_cap = int(cfg.max_filesize_allowed.get("csv", cfg.max_filesize_allowed["default"]))
+    parseable = (
+        (F.col("change_status") != "unchanged")
+        & F.col("mime_type").isin("text/csv", "application/gzip")
+        & F.col("status").isNotNull()
+        & (F.col("status") < 400)
+    )
+    too_big = F.col("filesize") > size_cap
     cur = cur.withColumn(
-        "parsing_table",
-        F.when(
-            (F.col("change_status") != "unchanged")
-            & (F.col("mime_type") == "text/csv")
-            & F.col("status").isNotNull()
-            & (F.col("status") < 400),
-            F.md5(F.col("url")),
-        ),
+        "parsing_table", F.when(parseable & ~too_big, F.md5(F.col("url")))
+    ).withColumn(
+        "analysis_error",
+        F.when(parseable & too_big, F.lit(f"File too large (> {size_cap} bytes)")),
     )
     cur = cur.persist()
     _mark("plan")
 
-    # ---- tabular analysis (work-avoidance-gated, §2.10) -----------------
-    # parse changed/unknown CSV resources; record rows + tables_index
-    to_parse = cur.where(F.col("parsing_table").isNotNull()).select(
-        "url", "resource_id", "dataset_id", "html", "parsing_table"
-    )
-    parsed = analyse_csv_batch(to_parse).persist()
-    store.parsed_rows.append(parsed.where(F.col("row_json").isNotNull()), round_id=round_id)
+    # ---- single-pass analysis + text extraction (§2.10) -----------------
+    # ONE python pass over the fetched bytes yields BOTH per-round
+    # outputs: byte-identical extracted text per document (the webtext
+    # deliverable / BASELINE.json invariant) and typed parsed rows for
+    # changed-or-unknown CSV resources (the parsing_table gate above).
+    to_process = cur.where(
+        F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
+    ).select("url", "resource_id", "dataset_id", "html", "parsing_table")
+    parsed = process_fetched(to_process).persist()
+    store.outputs.append(parsed, round_id=round_id)
     _mark("analyse_write")
     store.tables_index.append(tables_index_entries(parsed, now), round_id=round_id)
     _mark("tables_index_write")
@@ -200,6 +211,8 @@ def run_round(
         for f in CHECKS_SCHEMA.fields
     ]
     checks_batch = cur.select(*check_cols)
+    # udata webhook outbox (S16): payloads for changed checks
+    store.outbox.append(webhook_payloads(cur, now), round_id=round_id)
     if robots_blocked is not None:
         rb = _robots_checks(robots_blocked, round_id, now, cfg)
         rb_have = set(rb.columns)
@@ -218,8 +231,10 @@ def run_round(
     store.checks.append(checks_batch, round_id=round_id)
     _mark("checks_write")
 
-    # ---- frontier MERGE (SO2): checked → last_check/status reset; -------
-    # backed-off → status BACKOFF (Iceberg MERGE INTO analog)
+    # ---- frontier MERGE (SO2) as a merge-on-read DELTA: a round touches
+    # ~batch_size of the 10^10-row frontier, so appending a delta beats
+    # rewriting the snapshot (flat, non-scaling cost); readers apply the
+    # latest delta per key; compaction folds them back periodically.
     updates = cur.select(
         F.col("resource_id").alias("_urid"),
         F.col("id").alias("_new_last_check"),
@@ -242,30 +257,9 @@ def run_round(
             )
         )
     now_ts = F.to_timestamp(F.lit(now))
-    merged = (
-        frontier.join(updates, frontier.resource_id == updates._urid, "left")
-        .withColumn(
-            "last_check",
-            F.when(F.col("_upd") == "checked", F.col("_new_last_check")).otherwise(
-                F.col("last_check")
-            ),
-        )
-        .withColumn(
-            "status",
-            F.when(F.col("_upd") == "checked", F.lit(None).cast("string"))
-            .when(F.col("_upd") == "backoff", F.lit("BACKOFF"))
-            .otherwise(F.col("status")),
-        )
-        .withColumn(
-            "priority",
-            F.when(F.col("_upd") == "checked", F.lit(False)).otherwise(F.col("priority")),
-        )
-        .withColumn(
-            "status_since", F.when(F.col("_upd").isNotNull(), now_ts).otherwise(F.col("status_since"))
-        )
-        .drop("_urid", "_new_last_check", "_upd")
-    )
-    store.frontier.commit(merged, round_id=round_id)
+    store.frontier.append_delta(updates.withColumn("_upd_at", now_ts), round_id=round_id)
+    if cfg.compact_every_rounds and round_id % cfg.compact_every_rounds == 0:
+        store.frontier.compact(spark, round_id=round_id)
     _mark("frontier_write")
 
     # ---- per-partition lineage + fetch metrics (north rule) ------------

@@ -72,37 +72,45 @@ def select_batch(
     )
     el = el.withColumn("tier", tier).where(F.col("tier").isNotNull())
 
+    # prune before the window shuffles: the claim only needs these
+    # (status/title/etc. would otherwise ride through both exchanges)
+    cols = [
+        "dataset_id", "resource_id", "url", "priority", "harvest_modified_at",
+        "format", "host_bucket", "tier",
+    ]
+    el = el.select(*cols)
+
     # seeded pseudo-random ordering: deterministic for a given round at
     # ANY parallelism (ORDER BY random() analog, select_batch.py:47-56)
     rnd = F.pmod(F.xxhash64("resource_id", F.lit(round_id)), F.lit(_M))
     el = el.withColumn("rnd", rnd).withColumn("domain", url_domain("url"))
+    out_cols = cols + ["domain"]
 
-    # breadth-first across hosts: best row of every host first
-    w = Window.partitionBy("domain").orderBy("tier", "rnd", "resource_id")
-    el = el.withColumn("host_rank", F.row_number().over(w))
-
-    cols = [
-        "dataset_id", "resource_id", "url", "priority", "harvest_modified_at",
-        "format", "host_bucket", "tier", "domain",
-    ]
     if cfg.batch_size <= cfg.bucket_claim_threshold:
-        # reference-exact semantics: global (host_rank, tier, random)
-        # order, one LIMIT — compiles to TakeOrderedAndProject (a
-        # driver-side top-k merge: fine for small k, serial for huge k)
+        # reference-exact semantics: breadth-first rank per host, then a
+        # global (host_rank, tier, random) LIMIT — compiles to
+        # TakeOrderedAndProject (driver-side top-k merge: fine for small
+        # k, serial for huge k)
+        w = Window.partitionBy("domain").orderBy("tier", "rnd", "resource_id")
         return (
-            el.orderBy("host_rank", "tier", "rnd", "resource_id")
+            el.withColumn("host_rank", F.row_number().over(w))
+            .orderBy("host_rank", "tier", "rnd", "resource_id")
             .limit(cfg.batch_size)
-            .select(*cols)
+            .select(*out_cols)
         )
 
     # scale path — the salted per-host-partitioned priority queue (north
     # rule): each host bucket claims an equal quota, ranked by the same
-    # (host_rank, tier, rnd) order. No global sort, no serial top-k;
-    # every stage downstream inherits ~frontier_buckets-way parallelism.
+    # (host_rank, tier, rnd) order. No global sort, no serial top-k, and
+    # ONE exchange: hash(host_bucket) satisfies both windows' clustering
+    # (domain determines its bucket), so the two ranks share the shuffle.
     quota = -(-cfg.batch_size // cfg.frontier_buckets)  # ceil
+    el = el.repartition(F.col("host_bucket"))
+    w1 = Window.partitionBy("host_bucket", "domain").orderBy("tier", "rnd", "resource_id")
     wb = Window.partitionBy("host_bucket").orderBy("host_rank", "tier", "rnd", "resource_id")
     return (
-        el.withColumn("bucket_rank", F.row_number().over(wb))
+        el.withColumn("host_rank", F.row_number().over(w1))
+        .withColumn("bucket_rank", F.row_number().over(wb))
         .where(F.col("bucket_rank") <= quota)
-        .select(*cols)
+        .select(*out_cols)
     )

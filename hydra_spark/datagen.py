@@ -122,8 +122,26 @@ def generate_pages(
         .withColumn("payload", F.when(is_csv, csv_body).otherwise(html_body))
         .withColumn("html", F.encode(F.col("payload"), "UTF-8"))
         .withColumn("lang", F.when(F.col("host_id") % 3 == 0, F.lit("en")).otherwise(F.lit("fr")))
+        # a slice of CSV pages ships gzip-compressed (S5/C17 path);
+        # `text` stays the decompressed reference text
+        .withColumn("gzipped", is_csv & (pid % 131 == 3))
     )
-    return df.select("url", "warc_ts", "html", "text", "lang")
+    out = df.select("url", "warc_ts", "html", "text", "lang", "gzipped")
+
+    def _gz(batches):
+        import gzip
+
+        for pdf in batches:
+            mask = pdf["gzipped"]
+            if mask.any():
+                pdf.loc[mask, "html"] = pdf.loc[mask, "html"].map(
+                    lambda b: gzip.compress(bytes(b), compresslevel=1, mtime=0)
+                )
+            yield pdf.drop(columns=["gzipped"])
+
+    return out.mapInPandas(
+        _gz, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
 
 
 def generate_frontier(
@@ -160,7 +178,7 @@ def generate_frontier(
         .alias("harvest_modified_at"),
         F.lit("main").alias("type"),
         F.when(
-            F.substring(F.decode(F.col("html"), "UTF-8"), 1, 5) != "<html", F.lit("csv")
+            F.substring(F.col("html").cast("string"), 1, 5) != "<html", F.lit("csv")
         ).otherwise(F.lit(None).cast("string")).alias("format"),
         F.concat(F.lit("resource "), F.substring(h, 1, 8)).alias("title"),
     ).withColumn("host_bucket", host_bucket("url", cfg.frontier_buckets))

@@ -145,6 +145,113 @@ class AppendLog:
         return spark.read.parquet(*paths)
 
 
+class FilteredLog:
+    """Read-only filtered view over an AppendLog (shared physical log)."""
+
+    def __init__(self, log: "AppendLog", cond: str):
+        self.log = log
+        self.cond = cond
+
+    def exists(self) -> bool:
+        return self.log.exists()
+
+    def read(self, spark: SparkSession, upto_batch: int | None = None) -> DataFrame:
+        return self.log.read(spark, upto_batch).where(self.cond)
+
+
+class FrontierTable:
+    """Merge-on-read frontier (Iceberg MoR analog).
+
+    A full snapshot rewrite per round is a flat, non-scaling cost (the
+    frontier is 10^10 rows; a round touches ~batch_size of them). Here a
+    round appends a small DELTA of (resource_id, update-kind, new
+    last_check, now); readers apply the latest delta per key on the fly;
+    `compact()` folds deltas back into a base snapshot every K rounds.
+
+    Update kinds mirror the round's MERGE semantics:
+    - 'checked': last_check = new id, status → NULL, priority → False
+      (crawl/preprocess_check_data.py:75)
+    - 'backoff': status → 'BACKOFF'
+    """
+
+    DELTA_SCHEMA_HINT = "(_urid, _new_last_check, _upd, _upd_at)"
+
+    def __init__(self, root: str, name: str = "frontier"):
+        self.base = SnapshotTable(root, f"{name}_base")
+        self.deltas = AppendLog(root, f"{name}_delta")
+
+    def exists(self) -> bool:
+        return self.base.exists()
+
+    def commit_base(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
+        return self.base.commit(df, round_id=round_id, meta=meta)
+
+    def commit(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
+        """Full-rewrite commit (catalog upsert / init): supersedes any
+        pending deltas — the caller's df was produced from read(), so
+        delta effects are already folded in."""
+        sid = self.base.commit(df, round_id=round_id, meta=meta)
+        m = self.deltas.manifest()
+        m["batches"] = []
+        _write_manifest(self.deltas.manifest_path, m)
+        return sid
+
+    def manifest(self) -> dict:
+        return self.base.manifest()
+
+    def append_delta(self, updates: DataFrame, round_id: int) -> None:
+        """updates: (_urid, _new_last_check, _upd, _upd_at timestamp)."""
+        from pyspark.sql import functions as F
+
+        self.deltas.append(updates.withColumn("_delta_round", F.lit(round_id)), round_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = self.base.read(spark)
+        if not self.deltas.exists():
+            return base
+        d = self.deltas.read(spark)
+        w = Window.partitionBy("_urid").orderBy(F.desc("_delta_round"))
+        latest = d.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+        j = base.join(latest, base.resource_id == latest._urid, "left")
+        checked = F.col("_upd") == "checked"
+        backoff = F.col("_upd") == "backoff"
+        return (
+            j.withColumn(
+                "last_check",
+                F.when(checked, F.col("_new_last_check")).otherwise(F.col("last_check")),
+            )
+            .withColumn(
+                "status",
+                F.when(checked, F.lit(None).cast("string"))
+                .when(backoff, F.lit("BACKOFF"))
+                .otherwise(F.col("status")),
+            )
+            .withColumn(
+                "priority", F.when(checked, F.lit(False)).otherwise(F.col("priority"))
+            )
+            .withColumn(
+                "status_since",
+                F.when(F.col("_upd").isNotNull(), F.col("_upd_at")).otherwise(
+                    F.col("status_since")
+                ),
+            )
+            .drop("_urid", "_new_last_check", "_upd", "_upd_at", "_delta_round")
+        )
+
+    def compact(self, spark: SparkSession, round_id: int | None = None) -> None:
+        """Fold deltas into a new base snapshot and start a fresh delta
+        log (old delta dirs stay on disk under the superseded manifest —
+        expire via the base's snapshot retention)."""
+        merged = self.read(spark)
+        self.base.commit(merged, round_id=round_id, meta={"op": "compact"})
+        m = self.deltas.manifest()
+        m["batches"] = []
+        _write_manifest(self.deltas.manifest_path, m)
+
+
 @dataclass
 class StateStore:
     """All round-to-round crawl state under one root (checkpoint unit).
@@ -157,11 +264,16 @@ class StateStore:
 
     def __post_init__(self):
         os.makedirs(self.root, exist_ok=True)
-        self.frontier = SnapshotTable(self.root, "frontier")
+        self.frontier = FrontierTable(self.root, "frontier")
         self.checks = AppendLog(self.root, "checks")
         self.domain_state = SnapshotTable(self.root, "domain_state")
         self.tables_index = AppendLog(self.root, "tables_index")
-        self.parsed_rows = AppendLog(self.root, "parsed_rows")
+        # one log holds both per-round outputs (kind='row'|'text') —
+        # written in a single pass/job; the two names are filtered views
+        self.outputs = AppendLog(self.root, "outputs")
+        self.parsed_rows = FilteredLog(self.outputs, "kind = 'row'")
+        self.texts = FilteredLog(self.outputs, "kind = 'text'")
+        self.outbox = AppendLog(self.root, "outbox")
         self.metrics = AppendLog(self.root, "metrics")
         self.seen = SnapshotTable(self.root, "url_seen")
         self._rounds_path = os.path.join(self.root, "rounds.json")

@@ -1,13 +1,18 @@
 """North-rule scaling evidence: the same crawl job at N and 4N cores.
 
-No real cluster exists in this sandbox (BASELINE.md), so local[c]
-thread counts stand in for executor counts. Each level runs the same
-input (seeded datagen), one warm-up round, then `repeats` timed rounds;
-the per-level throughput is the BEST round (machine noise on a shared
-box only ever subtracts). Efficiency = thr(4N) / (4 × thr(N)).
+No real cluster exists in this sandbox (BASELINE.md), so pinned
+local[c] processes stand in for cluster sizes: `taskset` confines the
+WHOLE process (JVM helper threads included) to c cores — without
+pinning, local[2]'s GC/IO/serde threads overflow onto the box's other
+30 cores and inflate the small-cluster baseline.
+
+Each level runs the same seeded input: one warm-up round (JIT, python
+worker pool), then `repeats` timed big-batch rounds; per-level
+throughput is the BEST timed round (noise on a shared box only ever
+subtracts). Efficiency = thr(4N) / (4 × thr(N)).
 
 Usage: python scripts/bench_scaling.py [n_urls] [out.json]
-Writes one JSON line per level plus the efficiency summary.
+Env: HYDRA_SCALE_LEVELS=2,8  HYDRA_SCALE_REPEATS=2
 """
 
 import json
@@ -29,28 +34,34 @@ cpus, n, repeats = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark(cores=cpus, shuffle_partitions=cpus * 2, app=f"scale{cpus}",
                   extra={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
                          "spark.local.dir": "/dev/shm/spark-local"})
+# hash-partition by url: the per-round fetch join reuses this
+# partitioning (Iceberg bucket(url) analog) — pages never re-shuffle
 pages = (generate_pages(spark, n, n_hosts=max(n // 2000, 50))
          .repartition(cpus * 2, F.col("url")).persist())
 pages.count()
 store = StateStore(tempfile.mkdtemp(prefix=f"scale{cpus}_"))
 init_state(store, generate_frontier(spark, pages))
-cfg = DEFAULT.with_(batch_size=n // (repeats + 2), backoff_nb_req=10**9)
-run_crawl(spark, store, pages, cfg, rounds=1)  # warm-up (JIT, workers)
+
+warm_batch = n // 8
+timed_batch = (n - warm_batch) // repeats
+run_crawl(spark, store, pages, DEFAULT.with_(batch_size=warm_batch, backoff_nb_req=10**9),
+          rounds=1)  # warm-up
+cfg = DEFAULT.with_(batch_size=timed_batch, backoff_nb_req=10**9)
 best = None
 for _ in range(repeats):
     r = run_crawl(spark, store, pages, cfg, rounds=1)[0]
-    thr = r["urls_per_s"]
-    if best is None or thr > best["urls_per_s"]:
+    if best is None or r["urls_per_s"] > best["urls_per_s"]:
         best = r
-print("RESULT " + json.dumps({"cpus": cpus, "n_urls": n, "best_round": best}))
+print("RESULT " + json.dumps({"cpus": cpus, "n_urls": n, "timed_batch": timed_batch,
+                              "best_round": best}))
 '''
 
 
 def run_level(cpus: int, n: int, repeats: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n), str(repeats)],
-        capture_output=True, text=True, timeout=1500,
-    )
+    cmd = [sys.executable, "-c", WORKER, str(cpus), str(n), str(repeats)]
+    if os.environ.get("HYDRA_SCALE_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1500)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -58,9 +69,9 @@ def run_level(cpus: int, n: int, repeats: int) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/scaling.json"
-    repeats = int(os.environ.get("HYDRA_SCALE_REPEATS", "3"))
+    repeats = int(os.environ.get("HYDRA_SCALE_REPEATS", "2"))
     levels = [int(x) for x in os.environ.get("HYDRA_SCALE_LEVELS", "2,8").split(",")]
     results = {c: run_level(c, n, repeats) for c in levels}
     lo, hi = min(levels), max(levels)

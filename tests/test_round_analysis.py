@@ -4,6 +4,7 @@ work avoidance (reference: analysis/resource.py:41-184 + csv ingest)."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from hydra_spark.analysis.ingest import load_parsed_table
 from hydra_spark.config import DEFAULT
@@ -70,3 +71,60 @@ def test_html_resources_not_parsed(spark, crawled):
     checks = store.checks.read(spark)
     html_checks = checks.where("mime_type = 'text/html'")
     assert html_checks.where("parsing_table is not null").count() == 0
+
+
+def test_extracted_text_byte_identical(spark, crawled):
+    """BASELINE.json per-row invariant: extracted text per url equals the
+    reference text (pages.text) byte for byte."""
+    store, pages = crawled
+    texts = store.texts.read(spark)
+    ref = pages.select(pages.url.alias("_u"), pages.text.alias("ref_text"))
+    joined = texts.join(ref, texts.url == ref._u, "inner")
+    n = joined.count()
+    assert n == texts.count() and n > 0
+    mismatched = joined.where("text <> ref_text").count()
+    assert mismatched == 0
+
+
+def test_gzip_pages_parsed_and_text_extracted(spark, tmp_path):
+    """S5/C17: gzip bodies are detected (application/gzip), transparently
+    extracted, parsed, and their text matches the reference bytes."""
+    from hydra_spark.crawl.loop import init_state as _init, run_crawl as _run
+
+    pages = generate_pages(spark, 2000, n_hosts=8).cache()
+    gz = pages.where("url like '%/r/%'").where(
+        "hex(substring(html, 1, 2)) = '1F8B'"
+    )
+    n_gz = gz.count()
+    assert n_gz > 0
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    _init(store, frontier)
+    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    checks = store.checks.read(spark)
+    gz_checks = checks.where("mime_type = 'application/gzip'")
+    assert gz_checks.count() == n_gz
+    assert gz_checks.where("parsing_table is not null").count() == n_gz
+    # parsed rows exist and text is byte-identical to pages.text
+    texts = store.texts.read(spark)
+    ref = pages.select(pages.url.alias("_u"), pages.text.alias("ref_text"))
+    j = texts.join(ref, texts.url == ref._u).join(
+        gz_checks.select(gz_checks.url.alias("_u2")), texts.url == F.col("_u2")
+    )
+    assert j.count() == n_gz and j.where("text <> ref_text").count() == 0
+
+
+def test_size_cap_blocks_analysis(spark, tmp_path):
+    from hydra_spark.crawl.loop import init_state as _init, run_crawl as _run
+
+    pages = generate_pages(spark, 500, n_hosts=5).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    _init(store, frontier)
+    tiny_caps = dict(DEFAULT.max_filesize_allowed)
+    tiny_caps["csv"] = 10  # everything is "too large"
+    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000, max_filesize_allowed=tiny_caps), rounds=1)
+    checks = store.checks.read(spark)
+    assert checks.where("parsing_table is not null").count() == 0
+    too_big = checks.where("analysis_error like 'File too large%'")
+    assert too_big.count() > 0
