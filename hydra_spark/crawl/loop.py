@@ -36,6 +36,7 @@ def run_crawl(
     start_now: str = "2025-01-15 00:00:00",
     round_interval_s: float = 60.0,
     robots_rules=None,
+    exceptions=None,
 ) -> list[dict]:
     """Run `rounds` rounds, resuming after the last committed one."""
     start = datetime.strptime(start_now, TS_FMT)
@@ -43,5 +44,5 @@ def run_crawl(
     out = []
     for r in range(first, first + rounds):
         now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
-        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules))
+        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions))
     return out

@@ -27,6 +27,7 @@ from hydra_spark.crawl.next_check import next_check_expr
 from hydra_spark.crawl.robots import split_robots
 from hydra_spark.crawl.select_batch import select_batch
 from hydra_spark.crawl.webhook import webhook_payloads
+from hydra_spark.exceptions import with_exception_flag
 from hydra_spark.schemas import CHECKS_SCHEMA
 from hydra_spark.storage import StateStore
 
@@ -88,6 +89,7 @@ def run_round(
     round_id: int,
     now: str,
     robots_rules: DataFrame | None = None,
+    exceptions: DataFrame | None = None,
 ) -> dict:
     t0 = time.time()
     _tlast = [t0]
@@ -151,7 +153,9 @@ def run_round(
         & F.col("status").isNotNull()
         & (F.col("status") < 400)
     )
-    too_big = F.col("filesize") > size_cap
+    # resources_exceptions bypass the size cap (J8, db/resource_exception.py)
+    cur = with_exception_flag(cur, exceptions)
+    too_big = (F.col("filesize") > size_cap) & ~F.col("has_exception")
     cur = cur.withColumn(
         "parsing_table", F.when(parseable & ~too_big, F.md5(F.col("url")))
     ).withColumn(

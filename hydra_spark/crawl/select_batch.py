@@ -104,9 +104,14 @@ def select_batch(
     # (host_rank, tier, rnd) order. No global sort, no serial top-k, and
     # ONE exchange: hash(host_bucket) satisfies both windows' clustering
     # (domain determines its bucket), so the two ranks share the shuffle.
+    # Zipf-heavy hosts are SALTED: the per-host rank runs within
+    # (domain, salt) shards so no single window group exceeds ~1/salt_k
+    # of a hot domain — breadth-first becomes approximate within a salt
+    # shard, which is exactly the skew trade the north rule calls for.
     quota = -(-cfg.batch_size // cfg.frontier_buckets)  # ceil
-    el = el.repartition(F.col("host_bucket"))
-    w1 = Window.partitionBy("host_bucket", "domain").orderBy("tier", "rnd", "resource_id")
+    salt = F.pmod(F.xxhash64("resource_id", F.lit(round_id + 7)), F.lit(cfg.heavy_host_salt))
+    el = el.withColumn("salt", salt).repartition(F.col("host_bucket"))
+    w1 = Window.partitionBy("host_bucket", "domain", "salt").orderBy("tier", "rnd", "resource_id")
     wb = Window.partitionBy("host_bucket").orderBy("host_rank", "tier", "rnd", "resource_id")
     return (
         el.withColumn("host_rank", F.row_number().over(w1))

@@ -1,0 +1,59 @@
+"""Purge / retention maintenance (reference: udata_hydra/cli/purge.py).
+
+- `purge_checks_keep_last_n`: retention top-N per resource
+  (cli/purge.py:124-126 — `ORDER BY created_at DESC OFFSET $1` delete;
+  here the W6 window anti-selection).
+- `purge_orphan_tables`: parsed tables whose md5(url) no longer appears
+  in the live catalog (cli/purge.py:42-63, SO1) — the selection lives in
+  stats.orphan_tables; this applies it to the outputs log.
+
+Both are rewrite-style maintenance jobs (run rarely, not per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hydra_spark.stats import orphan_tables
+from hydra_spark.storage import StateStore
+
+
+def checks_keep_last_n(checks: DataFrame, n: int) -> DataFrame:
+    """The rows that SURVIVE retention: newest n checks per resource."""
+    w = Window.partitionBy("resource_id").orderBy(F.desc("created_at"), F.desc("id"))
+    return checks.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n).drop("_rn")
+
+
+def purge_checks_keep_last_n(spark: SparkSession, store: StateStore, n: int) -> dict:
+    """Compact the checks log to the newest n per resource (one batch)."""
+    kept = checks_keep_last_n(store.checks.read(spark), n)
+    before = store.checks.read(spark).count()
+    # rewrite as a single compacted batch dir + fresh manifest
+    compacted = kept.persist()
+    after = compacted.count()
+    from hydra_spark.storage import _write_manifest
+
+    m = store.checks.manifest()
+    m["batches"] = []
+    _write_manifest(store.checks.manifest_path, m)
+    store.checks.append(compacted, meta={"op": "retention", "keep_last": n})
+    compacted.unpersist()
+    return {"before": before, "after": after}
+
+
+def purge_orphan_parsed(spark: SparkSession, store: StateStore) -> dict:
+    """Drop parsed rows + tables_index entries for orphaned tables."""
+    frontier = store.frontier.read(spark)
+    ti = store.tables_index.read(spark)
+    orphans = orphan_tables(ti, frontier)
+    outputs = store.outputs.read(spark)
+    live_outputs = outputs.join(F.broadcast(orphans), "parsing_table", "left_anti")
+    n_dropped = outputs.count() - live_outputs.count()
+    from hydra_spark.storage import _write_manifest
+
+    m = store.outputs.manifest()
+    m["batches"] = []
+    _write_manifest(store.outputs.manifest_path, m)
+    store.outputs.append(live_outputs, meta={"op": "purge_orphans"})
+    return {"dropped_rows": n_dropped}

@@ -1,0 +1,114 @@
+"""Exceptions (J8), retention purge (W6), OGC (S17), Excel stub (S7),
+salted selection skew guard."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hydra_spark.analysis.excel import analyse_excel_batch
+from hydra_spark.analysis.ogc import inspect_ogc_batch, synthetic_capabilities
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.loop import init_state, run_crawl
+from hydra_spark.crawl.select_batch import select_batch
+from hydra_spark.datagen import generate_frontier, generate_pages
+from hydra_spark.purge import checks_keep_last_n, purge_checks_keep_last_n
+from hydra_spark.storage import StateStore
+
+
+def test_exceptions_bypass_size_cap(spark, tmp_path):
+    pages = generate_pages(spark, 400, n_hosts=5).cache()
+    frontier = generate_frontier(spark, pages)
+    # every CSV resource would be "too large" with a 10-byte cap...
+    csv_rids = [
+        r["resource_id"]
+        for r in frontier.join(pages.select("url", "html"), "url")
+        .where("substring(cast(html as string), 1, 5) != '<html'")
+        .where("url like '%/r/%'")  # plain fetchable URLs only
+        .where("not deleted and not priority")
+        .limit(2)
+        .collect()
+    ]
+    exceptions = spark.createDataFrame(
+        [(csv_rids[0], json.dumps({"code_insee": "index"}), "test")],
+        "resource_id string, table_indexes string, comment string",
+    )
+    tiny = dict(DEFAULT.max_filesize_allowed)
+    tiny["csv"] = 10
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(
+        spark, store, pages,
+        DEFAULT.with_(batch_size=100_000, max_filesize_allowed=tiny),
+        rounds=1, exceptions=exceptions,
+    )
+    checks = {r["resource_id"]: r for r in store.checks.read(spark).collect()}
+    assert checks[csv_rids[0]]["parsing_table"] is not None        # excepted → parsed
+    assert checks[csv_rids[1]]["parsing_table"] is None            # capped
+    assert checks[csv_rids[1]]["analysis_error"].startswith("File too large")
+
+
+def test_checks_retention(spark):
+    rows = [
+        (i * 10 + j, f"r{i}", None)
+        for i in range(3)
+        for j in range(5)
+    ]
+    from datetime import datetime, timedelta
+
+    base = datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(cid, rid, base + timedelta(hours=cid)) for cid, rid, _ in rows],
+        "id long, resource_id string, created_at timestamp",
+    )
+    kept = checks_keep_last_n(df, 2)
+    per = {r["resource_id"]: [] for r in kept.collect()}
+    for r in kept.collect():
+        per[r["resource_id"]].append(r["id"])
+    assert all(len(v) == 2 for v in per.values())
+    assert sorted(per["r0"]) == [3, 4]  # newest two
+
+
+def test_purge_checks_roundtrip(spark, tmp_path):
+    pages = generate_pages(spark, 300, n_hosts=4).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    res = purge_checks_keep_last_n(spark, store, 1)
+    assert res["after"] <= res["before"]
+    assert store.checks.read(spark).count() == res["after"]
+
+
+def test_ogc_capabilities(spark):
+    xml = synthetic_capabilities(layers=4)
+    df = spark.createDataFrame(
+        [("http://x/wfs", "r1", bytearray(xml.encode()))],
+        "url string, resource_id string, html binary",
+    )
+    meta = json.loads(inspect_ogc_batch(df).first()["ogc_metadata"])
+    assert meta["version"] == "2.0.0"
+    assert meta["layers"] == [f"layer_{i}" for i in range(4)]
+    assert "EPSG:4326" in meta["crs"] and "application/json" in meta["output_formats"]
+
+
+def test_excel_stub_reports_missing_dep(spark):
+    df = spark.createDataFrame(
+        [("http://x/f.xlsx", "r1", "d1", bytearray(b"PK\x03\x04fake"), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    rows = analyse_excel_batch(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["parsing_error"].startswith("excel:")
+
+
+def test_salted_selection_deterministic_and_capped(spark):
+    pages = generate_pages(spark, 5000, n_hosts=3).cache()  # extreme skew
+    frontier = generate_frontier(spark, pages).cache()
+    cfg = DEFAULT.with_(batch_size=50_000, bucket_claim_threshold=100)
+    a = select_batch(frontier, None, cfg, 1, "2025-01-15 00:00:00")
+    b = select_batch(frontier, None, cfg, 1, "2025-01-15 00:00:00")
+    ids_a = sorted(r["resource_id"] for r in a.collect())
+    ids_b = sorted(r["resource_id"] for r in b.collect())
+    assert ids_a == ids_b  # deterministic under re-execution
+    assert len(ids_a) > 0
