@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY.md §4): filters/columns reach the
+parquet scan, small sides broadcast, the scale-path claim has no global
+sort, codegen covers the hot expressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.select_batch import select_batch
+from hydra_spark.datagen import generate_frontier, generate_pages
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_column_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") < "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: scan schema only carries the 3 referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_broadcast_join_for_small_dim(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    q = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_scale_claim_has_no_global_sort(spark):
+    pages = generate_pages(spark, 2000, n_hosts=10)
+    frontier = generate_frontier(spark, pages)
+    cfg = DEFAULT.with_(batch_size=50_000, bucket_claim_threshold=100)
+    plan = _plan(select_batch(frontier, None, cfg, 1, "2025-01-15 00:00:00"))
+    # per-bucket quota path: only within-partition window sorts, no
+    # global sort, no TakeOrdered driver-side merge; Spark 4 even turns
+    # the rank filter into a WindowGroupLimit
+    assert "TakeOrderedAndProject" not in plan
+    assert "Sort [host_bucket" in plan  # window sorts, clustered by bucket
+    assert plan.count("Exchange hashpartitioning(host_bucket") == 1  # ONE claim shuffle
+
+
+def test_small_claim_uses_top_k(spark):
+    pages = generate_pages(spark, 2000, n_hosts=10)
+    frontier = generate_frontier(spark, pages)
+    plan = _plan(select_batch(frontier, None, DEFAULT.with_(batch_size=40), 1, "2025-01-15 00:00:00"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fetch_join_reuses_pages_partitioning(spark):
+    from hydra_spark.crawl.fetch import simulate_fetch
+
+    pages = generate_pages(spark, 2000, n_hosts=10).repartition(8, F.col("url")).persist()
+    pages.count()
+    frontier = generate_frontier(spark, pages)
+    batch = select_batch(frontier, None, DEFAULT.with_(batch_size=40), 1, "2025-01-15 00:00:00")
+    plan = _plan(simulate_fetch(batch, pages, DEFAULT, 1, "2025-01-15 00:00:00"))
+    # pages side: cached scan feeds the join with NO new exchange on it
+    # (either reused via its existing hash partitioning or the tiny batch
+    # side was broadcast — both avoid reshuffling the corpus)
+    assert ("BroadcastHashJoin" in plan) or (
+        plan.count("Exchange hashpartitioning(url") <= 1
+    )
+    pages.unpersist()
+
+
+def test_whole_stage_codegen_covers_fetch_exprs(spark):
+    from hydra_spark.crawl.fetch import simulate_fetch
+
+    pages = generate_pages(spark, 500, n_hosts=5)
+    frontier = generate_frontier(spark, pages)
+    batch = select_batch(frontier, None, DEFAULT.with_(batch_size=40), 1, "2025-01-15 00:00:00")
+    fetched = simulate_fetch(batch, pages, DEFAULT, 1, "2025-01-15 00:00:00")
+    fetched.collect()  # AQE finalizes (and codegen-annotates) only on execution
+    plan = _plan(fetched)
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan or "*(" in plan
