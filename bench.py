@@ -63,7 +63,9 @@ def main() -> None:
     n_urls = max(int(2_000_000 * sf), 20_000)
     rounds = 2
     batch = n_urls // (rounds + 1)
-    pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 2000), 50))
+    # enough hosts that every frontier bucket has claimable rows
+    # (bucket-quota claims under-fill when hosts ≪ buckets)
+    pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 500), 200))
     # hash-partition on url: the per-round fetch join reuses this
     # partitioning (Iceberg bucket(url) analog) — pages never re-shuffle
     pages = pages.repartition(max(cpus * 2, 8), F.col("url")).persist()
