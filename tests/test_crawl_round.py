@@ -91,3 +91,33 @@ def test_no_recheck_before_due(spark, corpus, tmp_path):
     for r in checks:
         per_resource.setdefault(r["resource_id"], []).append(r)
     assert max(len(v) for v in per_resource.values()) == 1
+
+
+def test_empty_round_is_safe(spark, corpus, tmp_path):
+    """A round with nothing eligible (everything just checked) must not
+    crash and must keep state consistent."""
+    pages, frontier = corpus
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, CFG.with_(batch_size=10_000_000), rounds=1)
+    res = run_crawl(spark, store, pages, CFG.with_(batch_size=10_000_000), rounds=1)
+    assert res[0]["n_checked"] == 0
+    assert store.last_round() == 2
+
+
+def test_compaction_preserves_resume_equality(spark, corpus, tmp_path):
+    """MoR deltas folded into the base mid-run change nothing observable:
+    a run with compaction every round equals one with none."""
+    pages, frontier = corpus
+    a = StateStore(str(tmp_path / "a"))
+    init_state(a, frontier)
+    run_crawl(spark, a, pages, CFG.with_(compact_every_rounds=1), rounds=3)
+    b = StateStore(str(tmp_path / "b"))
+    init_state(b, frontier)
+    run_crawl(spark, b, pages, CFG.with_(compact_every_rounds=0), rounds=3)
+    ka = {(r["resource_id"], r["id"]) for r in a.checks.read(spark).collect()}
+    kb = {(r["resource_id"], r["id"]) for r in b.checks.read(spark).collect()}
+    assert ka == kb
+    fa = {(r["resource_id"], r["last_check"], r["status"]) for r in a.frontier.read(spark).collect()}
+    fb = {(r["resource_id"], r["last_check"], r["status"]) for r in b.frontier.read(spark).collect()}
+    assert fa == fb
