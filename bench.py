@@ -60,9 +60,11 @@ def main() -> None:
     # ---- crawl throughput (the north metric) ---------------------------
     from pyspark.sql import functions as F
 
-    n_urls = max(int(2_000_000 * sf), 20_000)
+    n_urls = max(int(10_000_000 * sf), 20_000)
     rounds = 2
-    batch = n_urls // (rounds + 1)
+    # big batches amortize per-round fixed costs (BENCH/BASELINE.md);
+    # round 2 claims whatever remains eligible
+    batch = n_urls // 2
     # enough hosts that every frontier bucket has claimable rows
     # (bucket-quota claims under-fill when hosts ≪ buckets)
     pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 500), 200))
