@@ -406,6 +406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return similarity.ann_topk(emb, queries_df, k=5, n_planes=8, probes=2, tables=4)
 
+    def q_ivf_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
+
     def q_bloom_seen(spark, sf):
         from hydra_spark.seen import BloomSeenSet
 
@@ -465,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,

@@ -165,3 +165,23 @@ def test_multimodal_real_decode_raises(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         extract_features(assets, fake=False).collect()
+
+
+def test_ivf_topk_on_clustered_data(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64))
+    rows = []
+    for i in range(400):
+        v = centers[i % 10] + 0.1 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    queries = df.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(df, queries, k=5)
+    ivf = similarity.ivf_topk(df, queries, k=5, n_clusters=10, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert len(e & a) / len(e) >= 0.9  # tight clusters → near-exact recall
+    top1 = {r["query_id"]: r["neighbor_id"] for r in ivf.where("rank=1").collect()}
+    assert all(q == n for q, n in top1.items())
