@@ -31,6 +31,33 @@ _FLOAT_SPECIAL = {"nan", "inf", "-inf", "+inf", "infinity", "-infinity"}
 # detection priority: most → least specific
 TYPE_ORDER = ["bool", "int", "float", "date", "datetime", "datetime_aware", "json", "string"]
 
+# csv-detective-style FORMATS that refine a string python_type (the
+# reference's richer format vocabulary — siret is the one its fixtures
+# exercise; extend here as corpora demand)
+FORMAT_CHECKS = {
+    "siret": re.compile(r"^\d{14}$"),
+    "siren": re.compile(r"^\d{9}$"),
+}
+
+
+def detect_column_format(values: list[str | None]) -> tuple[str, str] | None:
+    """(format, python_type) when a refined string format matches every
+    non-empty value; None otherwise. siret/siren win over the numeric
+    python types (csv-detective scores them higher)."""
+    for fmt, rx in FORMAT_CHECKS.items():
+        seen = False
+        ok = True
+        for v in values:
+            if v is None or str(v).strip() == "":
+                continue
+            seen = True
+            if not rx.match(str(v).strip()):
+                ok = False
+                break
+        if seen and ok:
+            return fmt, "string"
+    return None
+
 
 def value_types(v: str) -> set[str]:
     """All python_types a single raw string can be."""

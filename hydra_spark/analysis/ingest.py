@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hydra_spark.analysis.casting import smart_cast_cell
-from hydra_spark.analysis.inspect import ParsingError, inspect_csv
+from hydra_spark.analysis.inspect import ParsingError, inspect_csv, validate_inspection
 from hydra_spark.schemas import PYTHON_TYPE_TO_SPARK, db_col_name
 
 ROWS_SCHEMA = T.StructType(
@@ -63,10 +63,17 @@ def _json_default(v):
     return str(v)
 
 
-def _analyse_one(url: str, rid: str, did: str, data: bytes, table: str) -> list[tuple]:
+def _analyse_one(
+    url: str, rid: str, did: str, data: bytes, table: str, prev_inspection: dict | None = None
+) -> list[tuple]:
     data = _gunzip_if_needed(data)
+    # validate_then_detect (csv_like/__init__.py:41-50): when a previous
+    # inspection exists and the file still conforms, reuse it — stable
+    # types across re-crawls, no re-detection cost
+    insp = validate_inspection(data, prev_inspection) if prev_inspection else None
     try:
-        insp = inspect_csv(data)
+        if insp is None:
+            insp = inspect_csv(data)
     except ParsingError as e:
         # error string format: data_formats/csv_like/__init__.py analysis
         # error reporting (tests/test_analysis/test_analysis_csv.py:104-151)
@@ -131,17 +138,21 @@ def process_fetched(df: DataFrame) -> DataFrame:
     (OUTPUTS_SCHEMA): extracted text per fetched document (kind='text')
     and typed parsed rows for csv resources (kind='row').
 
-    df: (url, resource_id, dataset_id, html, parsing_table) — rows with
-    NULL parsing_table get text extraction only. Fusing the two outputs
-    halves the passes over the html bytes (they dominate round cost).
+    df: (url, resource_id, dataset_id, html, parsing_table
+    [, prev_inspection]) — rows with NULL parsing_table get text
+    extraction only; a non-NULL prev_inspection JSON enables the
+    validate-then-detect fast path. Fusing the two outputs halves the
+    passes over the html bytes (they dominate round cost).
     """
-    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table"]
+    if "prev_inspection" not in df.columns:
+        df = df.withColumn("prev_inspection", F.lit(None).cast("string"))
+    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table", "prev_inspection"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in OUTPUTS_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
-            for url, rid, did, html, table in pdf[cols].itertuples(index=False):
+            for url, rid, did, html, table, prev in pdf[cols].itertuples(index=False):
                 if html is None:
                     continue
                 data = bytes(html)
@@ -150,8 +161,10 @@ def process_fetched(df: DataFrame) -> DataFrame:
                      _extract_text_py(data))
                 )
                 if table is not None:
+                    prev_insp = json.loads(prev) if prev else None
                     rows.extend(
-                        ("row", *r, None) for r in _analyse_one(url, rid, did, data, table)
+                        ("row", *r, None)
+                        for r in _analyse_one(url, rid, did, data, table, prev_insp)
                     )
             yield pd.DataFrame(rows, columns=names)
 

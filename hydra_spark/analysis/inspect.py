@@ -28,7 +28,12 @@ import csv
 import io
 import math
 
-from hydra_spark.analysis.casting import detect_column_type, smart_cast_cell
+from hydra_spark.analysis.casting import (
+    FORMAT_CHECKS,
+    detect_column_format,
+    detect_column_type,
+    smart_cast_cell,
+)
 
 SEPARATORS = [",", ";", "|", "\t"]
 HEADER_SCAN_ROWS = 10
@@ -78,6 +83,88 @@ def detect_separator(text: str) -> str:
     return ","
 
 
+def validate_inspection(data: bytes, prev: dict) -> dict | None:
+    """`validate_then_detect`'s validation half (reference:
+    data_formats/csv_like/__init__.py:41-50; truth table in
+    tests/test_analysis/test_analysis_csv.py:351-474): the new file
+    still conforms to the previous inspection iff the separator and
+    header are unchanged and every value casts to its column's previous
+    python_type. Valid → the previous inspection is reused with fresh
+    total_lines/profile (types stay stable across re-crawls); invalid →
+    None, caller runs the full detection."""
+    try:
+        text = data.decode(prev.get("encoding", "utf-8"))
+    except UnicodeDecodeError:
+        return None
+    rows = [r for r in _rows(text, prev["separator"]) if r]
+    if not rows or rows[0] != prev["header"]:
+        return None
+    # separator sanity: the previous separator must still be the winner
+    try:
+        if detect_separator(text) != prev["separator"]:
+            return None
+    except ParsingError:
+        return None
+    body = rows[1:]
+    ncols = len(prev["header"])
+    if any(len(r) != ncols for r in body[: HEADER_SCAN_ROWS - 1]):
+        return None
+    for j, name in enumerate(prev["header"]):
+        col = prev["columns"][name]
+        t = col["python_type"]
+        fmt_rx = FORMAT_CHECKS.get(col.get("format"))
+        values = [r[j] if j < len(r) else None for r in body]
+        for v in values:
+            if v is None or str(v).strip() == "":
+                continue
+            if fmt_rx is not None:
+                # refined format (e.g. siret) must still match — this is
+                # what invalidates format drift like siret → date
+                if not fmt_rx.match(str(v).strip()):
+                    return None
+                continue
+            try:
+                smart_cast_cell(t, v)
+            except ValueError:
+                return None
+    out = dict(prev)
+    out["total_lines"] = len(body)
+    out["profile"] = _profile(prev["header"], prev["columns"], body)
+    out["from_validation"] = True
+    return out
+
+
+def _profile(header: list[str], cols: dict, body: list[list[str]]) -> dict:
+    profile = {}
+    for j, name in enumerate(header):
+        t = cols[name]["python_type"]
+        if t not in ("int", "float"):
+            continue
+        vals = []
+        for r in body:
+            v = r[j] if j < len(r) else None
+            try:
+                c = smart_cast_cell(t, v)
+            except ValueError:
+                c = None
+            if c is not None:
+                vals.append(float(c))
+        if not vals:
+            profile[name] = {"min": None, "max": None, "mean": None, "std": None}
+            continue
+        has_inf = any(math.isinf(v) for v in vals)
+        finite = [v for v in vals if math.isfinite(v)]
+        mn = min(finite) if finite else None
+        if has_inf:
+            profile[name] = {"min": mn, "max": None, "mean": None, "std": None}
+        else:
+            n = len(vals)
+            mean = sum(vals) / n
+            std = (sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5 if n > 1 else None
+            profile[name] = {"min": mn, "max": max(vals), "mean": mean, "std": std}
+    return profile
+
+
 def inspect_csv(data: bytes) -> dict:
     try:
         text = data.decode("utf-8")
@@ -106,36 +193,15 @@ def inspect_csv(data: bytes) -> dict:
     cols = {}
     for j, name in enumerate(header):
         values = [r[j] if j < len(r) else None for r in body]
-        t = detect_column_type(values)
-        cols[name] = {"format": t, "python_type": t, "score": 1.0}
-
-    profile = {}
-    for j, name in enumerate(header):
-        t = cols[name]["python_type"]
-        if t not in ("int", "float"):
-            continue
-        vals = []
-        for r in body:
-            v = r[j] if j < len(r) else None
-            try:
-                c = smart_cast_cell(t, v)
-            except ValueError:
-                c = None
-            if c is not None:
-                vals.append(float(c))
-        if not vals:
-            profile[name] = {"min": None, "max": None, "mean": None, "std": None}
-            continue
-        has_inf = any(math.isinf(v) for v in vals)
-        finite = [v for v in vals if math.isfinite(v)]
-        mn = min(finite) if finite else None
-        if has_inf:
-            profile[name] = {"min": mn, "max": None, "mean": None, "std": None}
+        refined = detect_column_format(values)
+        if refined is not None:
+            fmt, t = refined
+            cols[name] = {"format": fmt, "python_type": t, "score": 1.5}
         else:
-            n = len(vals)
-            mean = sum(vals) / n
-            std = (sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5 if n > 1 else None
-            profile[name] = {"min": mn, "max": max(vals), "mean": mean, "std": std}
+            t = detect_column_type(values)
+            cols[name] = {"format": t, "python_type": t, "score": 1.0}
+
+    profile = _profile(header, cols, body)
 
     formats: dict[str, list[str]] = {}
     for name, c in cols.items():

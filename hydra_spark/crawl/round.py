@@ -173,6 +173,19 @@ def run_round(
     to_process = cur.where(
         F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
     ).select("url", "resource_id", "dataset_id", "html", "parsing_table")
+    if store.tables_index.exists():
+        # validate-then-detect fast path: hand each file its latest
+        # previous inspection (csv_like/__init__.py:41-50)
+        wt = Window.partitionBy("parsing_table").orderBy(F.desc("created_at"))
+        prev_ti = (
+            store.tables_index.read(spark)
+            .withColumn("_rn", F.row_number().over(wt))
+            .where("_rn = 1")
+            .select(F.col("parsing_table").alias("_pt"), F.col("csv_detective").alias("prev_inspection"))
+        )
+        to_process = to_process.join(
+            prev_ti, to_process.parsing_table == prev_ti._pt, "left"
+        ).drop("_pt")
     parsed = process_fetched(to_process).persist()
     store.outputs.append(parsed, round_id=round_id)
     _mark("analyse_write")
