@@ -30,10 +30,14 @@ NO_GUESS = "no_guess"
 
 
 def is_valid_status(status: Column) -> Column:
-    """200 ≤ s < 400 → True; 429 → NULL (unknowable); else False
-    (crawl/helpers.py:67-74)."""
-    return F.when(status.isNull() | (status == 429), F.lit(None).cast("boolean")).otherwise(
-        status.between(200, 399)
+    """200 ≤ s < 400 → True; 429 → NULL (unknowable); missing status
+    (connection error / timeout) → False, so availability is reported
+    as unavailable, not unknown (crawl/helpers.py:67-74 returns None
+    only for 429 and False for a falsy status)."""
+    return (
+        F.when(status == 429, F.lit(None).cast("boolean"))
+        .when(status.isNull(), F.lit(False))
+        .otherwise(status.between(200, 399))
     )
 
 
@@ -72,7 +76,11 @@ def detect_changes(df: DataFrame, now: str) -> DataFrame:
     # 2) last-modified header (resource.py:236-258)
     lm_first = ~prev & cur_lm_raw.isNotNull()              # first check, header present
     lm_applies = prev & cur_lm_raw.isNotNull()
-    lm_changed = cur_lm_raw != prev_lm_raw
+    # null-safe: a previous check WITHOUT the header vs a current check
+    # WITH it is a change (resource.py detect_..._from_last_modified
+    # returns HAS_CHANGED) — a plain != would yield NULL and fall
+    # through to UNCHANGED, suppressing re-parsing
+    lm_changed = ~cur_lm_raw.eqNullSafe(prev_lm_raw)
 
     # 3) content-length (resource.py:261-282)
     cl_applies = prev & cur_cl.isNotNull() & prev_cl.isNotNull()

@@ -92,9 +92,12 @@ def simulate_fetch(
             F.array(F.lit("content-length"), F.lit("content-type"), F.lit("last-modified")),
             F.array(
                 F.length("html").cast("string"),
-                F.when(mime == "text/html", F.lit("text/html; charset=utf-8")).otherwise(
-                    F.lit("text/csv; charset=utf-8")
-                ),
+                # header derives from the sniffed mime: text types carry a
+                # charset, binary (gzip) does not — a constant here would
+                # corrupt the C12 content-type-change trigger the moment a
+                # page flips text/plain → text/csv
+                F.when(mime.startswith("text/"), F.concat(mime, F.lit("; charset=utf-8")))
+                .otherwise(mime),
                 F.date_format("warc_ts", RFC1123),
             ),
         ),

@@ -40,6 +40,10 @@ def run_crawl(
 ) -> list[dict]:
     """Run `rounds` rounds, resuming after the last committed one."""
     start = datetime.strptime(start_now, TS_FMT)
+    # crash recovery: a killed round may have appended batches (checks,
+    # outputs, frontier deltas, ...) without reaching commit_round —
+    # drop those orphans so the re-run doesn't duplicate its rows
+    store.prune_uncommitted()
     first = store.last_round() + 1
     out = []
     for r in range(first, first + rounds):

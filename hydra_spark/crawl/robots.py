@@ -38,15 +38,26 @@ def synthetic_robots_rules(pages_or_frontier: DataFrame) -> DataFrame:
 
 
 def split_robots(batch: DataFrame, rules: DataFrame | None):
-    """(allowed, blocked): batch rows whose URL path starts with a
+    """(allowed, blocked): batch rows whose URL path starts with ANY
     disallowed prefix for their domain are blocked. `batch` must carry
-    a `domain` column (select_batch provides it)."""
+    a `domain` column (select_batch provides it).
+
+    Rules are aggregated to ONE row per domain (collect_list of
+    prefixes) before the join: a row-per-rule left join would (a) leak
+    a URL blocked by one prefix into `allowed` via the other rule rows
+    and (b) duplicate every allowed URL once per rule — real robots.txt
+    files have many Disallow lines."""
     if rules is None:
         return batch, None
-    r = F.broadcast(rules.withColumnRenamed("domain", "_rdom"))
+    per_domain = rules.groupBy("domain").agg(
+        F.collect_list("disallow_prefix").alias("_disallow")
+    )
+    r = F.broadcast(per_domain.withColumnRenamed("domain", "_rdom"))
     joined = batch.join(r, batch.domain == r._rdom, "left")
     path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+", "")
-    hit = F.col("disallow_prefix").isNotNull() & path.startswith(F.col("disallow_prefix"))
-    allowed = joined.where(~hit).drop("_rdom", "disallow_prefix")
-    blocked = joined.where(hit).drop("_rdom", "disallow_prefix")
+    hit = F.col("_disallow").isNotNull() & F.exists(
+        "_disallow", lambda p: path.startswith(p)
+    )
+    allowed = joined.where(~hit).drop("_rdom", "_disallow")
+    blocked = joined.where(hit).drop("_rdom", "_disallow")
     return allowed, blocked

@@ -100,6 +100,12 @@ def run_round(
         timings[name] = round(now_w - _tlast[0], 3)
         _tlast[0] = now_w
 
+    # compaction folds COMMITTED state only (start of round, tagged with
+    # the last committed round id): a crash later in this round can then
+    # never orphan a base snapshot that already swallowed the delta log
+    if cfg.compact_every_rounds and round_id % cfg.compact_every_rounds == 0:
+        store.frontier.compact(spark, round_id=round_id - 1)
+
     frontier = store.frontier.read(spark)
     checks = store.checks.read(spark) if store.checks.exists() else None
     lc = latest_checks(checks) if checks is not None else None
@@ -275,8 +281,6 @@ def run_round(
         )
     now_ts = F.to_timestamp(F.lit(now))
     store.frontier.append_delta(updates.withColumn("_upd_at", now_ts), round_id=round_id)
-    if cfg.compact_every_rounds and round_id % cfg.compact_every_rounds == 0:
-        store.frontier.compact(spark, round_id=round_id)
     _mark("frontier_write")
 
     # ---- per-partition lineage + fetch metrics (north rule) ------------

@@ -16,6 +16,8 @@ cosine near-dup. Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
@@ -24,6 +26,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hydra_spark.ml.text import shingles
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int, what: str, log_dropped: bool = False
+) -> DataFrame:
+    """Keep only bucket groups with 2..max_bucket members — the standard
+    hot-bucket guard that bounds every LSH self-join (a degenerate corpus
+    otherwise makes one bucket quadratic). No silent caps: the cap is
+    logged, and `log_dropped=True` additionally counts the dropped
+    buckets (one extra small aggregation job — off in the hot path)."""
+    w = Window.partitionBy(*keys)
+    counted = df.withColumn("_bn", F.count("*").over(w))
+    if log_dropped:
+        n_dropped = (
+            counted.where(F.col("_bn") > max_bucket).select(*keys).distinct().count()
+        )
+        if n_dropped:
+            logger.warning(
+                "%s: dropped %d hot bucket(s) larger than max_bucket=%d "
+                "(coverage cap — raise max_bucket to include them)",
+                what, n_dropped, max_bucket,
+            )
+    else:
+        logger.info("%s: buckets capped at max_bucket=%d", what, max_bucket)
+    return counted.where((F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)).drop("_bn")
 
 
 def normalized(text: Column | str) -> Column:
@@ -72,12 +101,13 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int = 50,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
 
     bands × rows = k; same band hash in any band → candidate. Buckets
-    larger than `max_bucket` (boilerplate) are dropped — logged upstream
-    as a coverage cap rather than exploding the self-join.
+    larger than `max_bucket` (boilerplate) are dropped — logged as a
+    coverage cap rather than exploding the self-join.
     """
     rows = k // bands
     sig = df.select(
@@ -92,9 +122,8 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
     )
-    w = Window.partitionBy("band", "band_hash")
-    banded = banded.withColumn("_bn", F.count("*").over(w)).where(
-        (F.col("_bn") > 1) & (F.col("_bn") <= max_bucket)
+    banded = _cap_buckets(
+        banded, ["band", "band_hash"], max_bucket, "minhash_lsh_candidates", log_dropped
     )
     a = banded.select("band", "band_hash", F.col("_id").alias("id_a"))
     b = banded.select("band", "band_hash", F.col("_id").alias("id_b"))

@@ -26,34 +26,31 @@ def checks_keep_last_n(checks: DataFrame, n: int) -> DataFrame:
 
 
 def purge_checks_keep_last_n(spark: SparkSession, store: StateStore, n: int) -> dict:
-    """Compact the checks log to the newest n per resource (one batch)."""
-    kept = checks_keep_last_n(store.checks.read(spark), n)
-    before = store.checks.read(spark).count()
-    # rewrite as a single compacted batch dir + fresh manifest
-    compacted = kept.persist()
-    after = compacted.count()
-    from hydra_spark.storage import _write_manifest
+    """Compact the checks log to the newest n per resource (one batch).
 
-    m = store.checks.manifest()
-    m["batches"] = []
-    _write_manifest(store.checks.manifest_path, m)
-    store.checks.append(compacted, meta={"op": "retention", "keep_last": n})
-    compacted.unpersist()
+    `rewrite` materializes the survivors to a FRESH batch dir while the
+    old manifest (and its batch dirs, which the lazy `kept` plan reads)
+    is still intact, and only then flips the manifest — wiping the
+    manifest first would delete the plan's own input mid-read."""
+    before = store.checks.read(spark).count()
+    kept = checks_keep_last_n(store.checks.read(spark), n)
+    store.checks.rewrite(kept, meta={"op": "retention", "keep_last": n})
+    after = store.checks.read(spark).count()
     return {"before": before, "after": after}
 
 
 def purge_orphan_parsed(spark: SparkSession, store: StateStore) -> dict:
-    """Drop parsed rows + tables_index entries for orphaned tables."""
+    """Drop parsed rows + tables_index entries for orphaned tables.
+
+    Same write-before-flip protocol as purge_checks_keep_last_n: the
+    live_outputs plan scans the CURRENT batch dirs, so the compacted
+    copy must land on disk before the manifest moves."""
     frontier = store.frontier.read(spark)
     ti = store.tables_index.read(spark)
     orphans = orphan_tables(ti, frontier)
     outputs = store.outputs.read(spark)
     live_outputs = outputs.join(F.broadcast(orphans), "parsing_table", "left_anti")
-    n_dropped = outputs.count() - live_outputs.count()
-    from hydra_spark.storage import _write_manifest
-
-    m = store.outputs.manifest()
-    m["batches"] = []
-    _write_manifest(store.outputs.manifest_path, m)
-    store.outputs.append(live_outputs, meta={"op": "purge_orphans"})
-    return {"dropped_rows": n_dropped}
+    before = outputs.count()
+    store.outputs.rewrite(live_outputs, meta={"op": "purge_orphans"})
+    after = store.outputs.read(spark).count()
+    return {"dropped_rows": before - after}

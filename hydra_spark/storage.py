@@ -92,6 +92,23 @@ class SnapshotTable:
         m["current"] = snapshot_id
         _write_manifest(self.manifest_path, m)
 
+    def prune_after_round(self, last_round: int) -> int:
+        """Drop snapshots committed by rounds newer than `last_round`
+        (crash recovery: a snapshot written mid-round whose round never
+        reached rounds.json is an orphan). Returns snapshots dropped."""
+        m = self.manifest()
+        orphan = [s for s in m["snapshots"] if s.get("round") is not None and s["round"] > last_round]
+        if not orphan:
+            return 0
+        live = [s for s in m["snapshots"] if s not in orphan]
+        m["snapshots"] = live
+        if m["current"] in {s["id"] for s in orphan}:
+            m["current"] = live[-1]["id"] if live else None
+        _write_manifest(self.manifest_path, m)
+        for s in orphan:
+            shutil.rmtree(s["path"], ignore_errors=True)
+        return len(orphan)
+
     def expire_snapshots(self, keep: int = 3) -> None:
         """Drop all but the newest `keep` snapshots (retention, W6 analog)."""
         m = self.manifest()
@@ -143,6 +160,36 @@ class AppendLog:
         if not paths:
             raise FileNotFoundError(f"append log {self.dir} is empty")
         return spark.read.parquet(*paths)
+
+    def rewrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Compaction commit: materialize `df` to a FRESH batch dir, then
+        atomically flip the manifest to point at it alone. The write runs
+        while the old manifest (and its batch dirs) are still intact, so
+        a plan over read() — which scans the old dirs — is safe to pass
+        in; the old dirs are left on disk for still-open readers and can
+        be garbage-collected by a later maintenance pass."""
+        m = self.manifest()
+        bid = max((b["id"] for b in m["batches"]), default=0) + 1
+        bdir = os.path.join(self.dir, f"batch-{bid:06d}")
+        df.write.mode("overwrite").parquet(bdir)  # BEFORE touching the manifest
+        m["batches"] = [{"id": bid, "round": None, "ts": time.time(), "path": bdir, "meta": meta or {}}]
+        _write_manifest(self.manifest_path, m)
+        return bid
+
+    def prune_after_round(self, last_round: int) -> int:
+        """Drop batches appended by rounds newer than `last_round` (crash
+        recovery: a round's appends are only durable once rounds.json
+        records the round — see StateStore.commit_round). Returns the
+        number of orphan batches removed."""
+        m = self.manifest()
+        orphan = [b for b in m["batches"] if b.get("round") is not None and b["round"] > last_round]
+        if not orphan:
+            return 0
+        m["batches"] = [b for b in m["batches"] if b not in orphan]
+        _write_manifest(self.manifest_path, m)
+        for b in orphan:
+            shutil.rmtree(b["path"], ignore_errors=True)
+        return len(orphan)
 
 
 class FilteredLog:
@@ -244,12 +291,22 @@ class FrontierTable:
     def compact(self, spark: SparkSession, round_id: int | None = None) -> None:
         """Fold deltas into a new base snapshot and start a fresh delta
         log (old delta dirs stay on disk under the superseded manifest —
-        expire via the base's snapshot retention)."""
+        expire via the base's snapshot retention).
+
+        Crash safety: callers must compact only COMMITTED state (i.e. at
+        the start of a round, tagging the base snapshot with the last
+        committed round) — see run_round. A crash between the base commit
+        and the delta clear is harmless because re-applying an
+        already-folded delta is idempotent (same last_check/status/
+        priority values)."""
         merged = self.read(spark)
         self.base.commit(merged, round_id=round_id, meta={"op": "compact"})
         m = self.deltas.manifest()
         m["batches"] = []
         _write_manifest(self.deltas.manifest_path, m)
+
+    def prune_after_round(self, last_round: int) -> int:
+        return self.base.prune_after_round(last_round) + self.deltas.prune_after_round(last_round)
 
 
 @dataclass
@@ -281,6 +338,21 @@ class StateStore:
     def last_round(self) -> int:
         m = _read_manifest(self._rounds_path)
         return m["last_round"] if m else 0
+
+    def prune_uncommitted(self) -> int:
+        """Crash recovery (run before resuming): drop every batch/snapshot
+        tagged with a round newer than the last committed one. A killed
+        round's partial appends (checks/outputs/metrics/outbox/frontier
+        deltas) would otherwise survive and duplicate rows when the round
+        re-runs — inflating politeness rate counts and check history."""
+        last = self.last_round()
+        dropped = 0
+        for log in (self.checks, self.tables_index, self.outputs, self.outbox, self.metrics):
+            dropped += log.prune_after_round(last)
+        dropped += self.frontier.prune_after_round(last)
+        for snap in (self.domain_state, self.seen):
+            dropped += snap.prune_after_round(last)
+        return dropped
 
     def commit_round(self, round_id: int, meta: dict | None = None) -> None:
         m = _read_manifest(self._rounds_path) or {"last_round": 0, "rounds": []}

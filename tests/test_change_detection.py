@@ -170,3 +170,37 @@ def test_checksum_equal_without_prior_detection_no_guess(spark):
         spark, checksum="aaa", prev_exists=True, prev_checksum="aaa", prev_created_at=PREV_TS
     )
     assert s == "no_guess"
+
+
+def test_last_modified_header_appears_is_changed(spark):
+    """Previous check lacked the header, current has it → HAS_CHANGED
+    (reference detect_resource_change_from_last_modified_header); a
+    null-unsafe != would fall through to unchanged and suppress
+    re-parsing."""
+    s, m, lm = _detect(
+        spark,
+        headers={"last-modified": LM1},
+        prev_exists=True,
+        prev_headers={"content-length": "5"},  # no last-modified before
+        prev_created_at=PREV_TS,
+    )
+    assert (s, m) == ("changed", "last-modified-header")
+    assert lm == datetime.fromisoformat("2025-01-01 00:00:00")
+
+
+def test_is_valid_status_truth_table(spark):
+    """crawl/helpers.py is_valid_status: None only for 429; a missing
+    status (connection error / timeout) is False, not unknown —
+    downstream consumers must see the resource as unavailable."""
+    from pyspark.sql import functions as F
+
+    from hydra_spark.crawl.change import is_valid_status
+
+    df = spark.createDataFrame(
+        [(200,), (302,), (399,), (400,), (429,), (500,), (None,)], "status int"
+    )
+    got = {
+        r["status"]: r["ok"]
+        for r in df.withColumn("ok", is_valid_status(F.col("status"))).collect()
+    }
+    assert got == {200: True, 302: True, 399: True, 400: False, 429: None, 500: False, None: False}

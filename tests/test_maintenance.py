@@ -112,3 +112,71 @@ def test_salted_selection_deterministic_and_capped(spark):
     ids_b = sorted(r["resource_id"] for r in b.collect())
     assert ids_a == ids_b  # deterministic under re-execution
     assert len(ids_a) > 0
+
+
+def test_purge_orphan_parsed_keeps_outputs_readable(spark, tmp_path):
+    """Data-loss regression: the compacted outputs must be materialized
+    to a fresh batch dir BEFORE the manifest flips — wiping the manifest
+    first deletes the lazy plan's own input mid-read."""
+    from hydra_spark.purge import purge_orphan_parsed
+
+    pages = generate_pages(spark, 400, n_hosts=5).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    before = store.outputs.read(spark).count()
+    assert before > 0
+
+    # nothing orphaned yet: purge is a no-op rewrite, log stays readable
+    res = purge_orphan_parsed(spark, store)
+    assert res["dropped_rows"] == 0
+    assert store.outputs.read(spark).count() == before
+
+    # delete some resources from the frontier → their parsed rows purge
+    parsed_tables = [
+        r["parsing_table"]
+        for r in store.tables_index.read(spark).select("parsing_table").distinct().limit(2).collect()
+    ]
+    fr = store.frontier.read(spark)
+    fr2 = fr.withColumn(
+        "deleted",
+        F.when(F.md5("url").isin(parsed_tables), F.lit(True)).otherwise(F.col("deleted")),
+    )
+    store.frontier.commit(fr2, round_id=1)
+    res2 = purge_orphan_parsed(spark, store)
+    assert res2["dropped_rows"] > 0
+    after = store.outputs.read(spark)
+    assert after.count() == before - res2["dropped_rows"]
+    assert after.where(F.col("parsing_table").isin(parsed_tables)).count() == 0
+
+
+def test_resume_prunes_uncommitted_round(spark, tmp_path):
+    """A crash mid-round leaves orphan batches (appended but never
+    committed via rounds.json); resume must drop them or the re-run
+    duplicates check/metric rows and inflates politeness counts."""
+    pages = generate_pages(spark, 300, n_hosts=4).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=50), rounds=1)
+    committed = store.checks.read(spark).count()
+
+    # simulate a crash: round-2 batches appended, commit_round never ran
+    orphan = store.checks.read(spark).limit(7)
+    store.checks.append(orphan, round_id=2)
+    store.metrics.append(store.metrics.read(spark).limit(1), round_id=2)
+    assert store.checks.read(spark).count() == committed + 7
+    assert store.last_round() == 1
+
+    dropped = store.prune_uncommitted()
+    assert dropped == 2
+    assert store.checks.read(spark).count() == committed
+
+    # and run_crawl resumes cleanly after the prune, re-running round 2
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=50), rounds=1)
+    assert store.last_round() == 2
+    per_round = {
+        b["round"] for b in store.checks.manifest()["batches"]
+    }
+    assert per_round == {1, 2}

@@ -46,3 +46,27 @@ def test_round_with_robots(spark, tmp_path):
         checks.url.contains("/private/") & checks.error.isNull()
     ).collect()
     assert not [r for r in fetched_private if r["domain"] in ruled]
+
+
+def test_split_robots_multiple_prefixes_per_domain(spark):
+    """A domain with several Disallow lines: a URL blocked by ANY prefix
+    must not leak into `allowed` via the other rule rows, and allowed
+    URLs must not be duplicated once per rule."""
+    batch = spark.createDataFrame(
+        [
+            ("r1", "https://a.com/private/x", "a.com"),
+            ("r2", "https://a.com/tmp/x", "a.com"),
+            ("r3", "https://a.com/public/x", "a.com"),
+            ("r4", "https://b.com/tmp/x", "b.com"),
+        ],
+        "resource_id string, url string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/private/"), ("a.com", "/tmp/"), ("a.com", "/admin/")],
+        "domain string, disallow_prefix string",
+    )
+    allowed, blocked = split_robots(batch, rules)
+    allowed_rows = allowed.collect()
+    assert {r["resource_id"] for r in blocked.collect()} == {"r1", "r2"}
+    assert {r["resource_id"] for r in allowed_rows} == {"r3", "r4"}
+    assert len(allowed_rows) == 2  # no per-rule duplication
