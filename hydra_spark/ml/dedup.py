@@ -205,11 +205,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 16-bit chunks (any chunk
     equal → candidate, guaranteed to catch hamming ≤ 3 pairs... sic:
-    ≤ 3 differing bits can't hit all 4 chunks), verify with popcount."""
+    ≤ 3 differing bits can't hit all 4 chunks), verify with popcount.
+
+    Chunk buckets are capped like the MinHash bands: a degenerate corpus
+    (all-empty texts → simhash 0) would otherwise put everything in one
+    chunk bucket and go quadratic."""
     sh = simhash(df, text_col, id_col).select(F.col(id_col).alias("_id"), "simhash")
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), 16 * c)
@@ -218,6 +227,9 @@ def simhash_near_dups(
         for c in range(4)
     ]
     blocked = sh.select("_id", "simhash", F.posexplode(F.array(*chunks)).alias("chunk", "chunk_val"))
+    blocked = _cap_buckets(
+        blocked, ["chunk", "chunk_val"], max_bucket, "simhash_near_dups", log_dropped
+    )
     a = blocked.select("chunk", "chunk_val", F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocked.select("chunk", "chunk_val", F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     pairs = (
@@ -250,15 +262,25 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    max_bucket: int = 200,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH blocking + exact
     cosine verify. Plane projections run in numpy (one matmul per Arrow
-    batch); the bucket join and cosine verify are JVM-side."""
+    batch); the bucket join and cosine verify are JVM-side.
+
+    Hyperplane buckets are capped at `max_bucket`: a hot bucket (near-
+    zero or heavily duplicated embeddings) would otherwise make the
+    self-join quadratic — the one scale-killer in an uncapped LSH."""
     from hydra_spark.ml.similarity import hyperplane_signature
 
     sig = hyperplane_signature(df, vec_col, n_planes=n_planes, seed=seed)
-    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    sig = _cap_buckets(
+        sig.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"),
+        ["bucket"], max_bucket, "embedding_near_dups", log_dropped,
+    )
+    a = sig.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket")
+    b = sig.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
     cos = _cosine(
         F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")

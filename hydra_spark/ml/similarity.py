@@ -44,7 +44,13 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    scored = c.join(F.broadcast(q)).withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+        # the only shuffle is the per-query top-k window: ship (ids,
+        # cosine) into it, not the vectors
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -146,11 +152,18 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_qv"),
         F.explode(probe_clusters(F.col(vec_col))).alias("cluster"),
     )
-    scored = q.join(c, "cluster").withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+    # each corpus vector lives in exactly ONE cluster (argmax assignment),
+    # so (query_id, neighbor_id) pairs are already unique — no dedup
+    # shuffle; and the top-k window shuffles only (ids, cosine), not the
+    # vectors
+    scored = (
+        q.join(c, "cluster")
+        .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
@@ -172,36 +185,46 @@ def ann_topk(
     (the standard L-table LSH recall lever), each additionally
     multi-probed with 1-bit flips on the first `probes` planes.
     Candidates = union over tables; exact cosine + window top-k on the
-    candidate set only. Scanned fraction ≈ tables·(probes+1)/2^n_planes."""
+    candidate set only. Scanned fraction ≈ tables·(probes+1)/2^n_planes.
+
+    Shuffle discipline: candidates travel through the union + dedup as
+    BARE (query_id, neighbor_id) pairs — the embedding vectors are
+    joined back exactly once afterwards. Carrying vectors through the
+    candidate shuffles would cost ≈ candidates × 2 full vectors of
+    shuffle bytes, the dominant term at corpus scale."""
     cands = []
     for t in range(tables):
         c = hyperplane_signature(corpus, vec_col, n_planes, seed + 101 * t).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("_cv"),
-            "bucket",
+            F.col(id_col).alias("neighbor_id"), "bucket"
         )
         q = hyperplane_signature(queries, vec_col, n_planes, seed + 101 * t).select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
-            "bucket",
+            F.col(query_id_col).alias("query_id"), "bucket"
         )
         probe_buckets = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(probes, n_planes))],
         )
-        qx = q.select("query_id", "_qv", F.explode(probe_buckets).alias("bucket"))
-        cands.append(qx.join(c, "bucket").select("query_id", "neighbor_id", "_qv", "_cv"))
+        qx = q.select("query_id", F.explode(probe_buckets).alias("bucket"))
+        cands.append(qx.join(c, "bucket").select("query_id", "neighbor_id"))
     allc = cands[0]
     for c in cands[1:]:
         allc = allc.unionByName(c)
-    scored = allc.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
-        "cosine", cosine(F.col("_cv"), F.col("_qv"))
+    pairs = allc.dropDuplicates(["query_id", "neighbor_id"])
+    # vectors re-enter once: corpus side by equi-join, query side broadcast
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = (
+        pairs.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.select("query_id", "neighbor_id", "cosine")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )

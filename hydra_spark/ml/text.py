@@ -101,6 +101,16 @@ def fingerprint(text: Column | str, n: int = 3, seed: int = 7) -> Column:
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
 
 
+def fingerprint_md5(text: Column | str, n: int = 3) -> Column:
+    """Portable twin of `fingerprint`: min md5-hex over word shingles.
+    Same min-wise semantics, but md5 exists in every engine (DuckDB,
+    Postgres, Spark) so the result is cross-engine verifiable — used by
+    the oracle-backed driver query; prefer `fingerprint` (xxhash64,
+    no hex materialization) in the hot path."""
+    sh = shingles(text, n)
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))))
+
+
 def text_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop per-document report used by the pipeline."""
     return quality_features(df, text_col).select(

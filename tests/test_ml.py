@@ -185,3 +185,53 @@ def test_ivf_topk_on_clustered_data(spark):
     assert len(e & a) / len(e) >= 0.9  # tight clusters → near-exact recall
     top1 = {r["query_id"]: r["neighbor_id"] for r in ivf.where("rank=1").collect()}
     assert all(q == n for q, n in top1.items())
+
+
+def test_hot_bucket_caps_bound_the_self_joins(spark):
+    """Degenerate corpora (identical texts / identical embeddings) put
+    everything in one LSH bucket; the caps must bound the candidate
+    sets instead of going quadratic."""
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("same same same text").alias("text")
+    )
+    pairs = dedup.simhash_near_dups(docs, max_bucket=10, log_dropped=True)
+    assert pairs.count() == 0  # the single hot bucket was dropped, not joined
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).cast("array<float>").alias("embedding"),
+    )
+    near = dedup.embedding_near_dups(emb, n_planes=4, max_bucket=10, log_dropped=True)
+    assert near.count() == 0
+
+    # sanity: with the cap lifted above the corpus size they DO pair up
+    small = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(1.0)] * 8).cast("array<float>").alias("embedding"),
+    )
+    assert dedup.embedding_near_dups(small, n_planes=4, max_bucket=50).count() == 66
+
+
+def test_ann_candidate_shuffles_exclude_vectors(spark, emb):
+    """The union/dedup exchanges over ANN candidates must carry bare id
+    pairs — the embedding arrays re-enter via exactly one join after
+    dedup (shuffle bytes ≈ candidates × 2 vectors otherwise)."""
+    queries = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ann_topk(emb, queries, k=5, n_planes=8, probes=2, tables=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every candidate-side exchange before the final window: find the
+    # dedup (HashAggregate over query_id+neighbor_id) exchanges and
+    # assert no array column rides them
+    dedup_exchanges = [
+        seg for seg in plan.split("Exchange hashpartitioning")[1:]
+        if seg.startswith("(query_id") or seg.startswith("(neighbor_id")
+    ]
+    assert dedup_exchanges, "expected id-keyed candidate exchanges in the plan"
+    for seg in dedup_exchanges:
+        keyspec = seg.split("\n")[0]
+        assert "_cv" not in keyspec and "_qv" not in keyspec and "embedding" not in keyspec
