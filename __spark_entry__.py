@@ -2,13 +2,18 @@
 
 `entry` runs a full crawl round (the flagship pipeline) over a pages
 corpus synthesized from sf0.001 documents. `queries()` exposes every
-SURVEY.md §2 operator family as a (spark, sf_dir) callable; each
-SQL-expressible one has a DuckDB twin in `oracle_sql()` with identical
-column names/types (timestamps rendered as strings, doubles rounded).
+SURVEY.md §2 operator family as a (spark, sf_dir) callable; EVERY entry
+has a DuckDB twin in `oracle_sql()` with identical column names/types
+(timestamps rendered as strings, doubles rounded).
 
-Non-SQL-expressible entries (xxhash64-based fingerprints, LSH, the
-stateful crawl round, Bloom membership) intentionally have no oracle —
-the driver records rows-only checks for those.
+Hash-based ops run portable md5-arithmetic variants (same banding/
+voting/bucketing machinery as the xxhash64 fast paths, which stay
+covered by tests/test_ml.py); ANN/IVF run full-coverage parameters so
+the approximate result provably equals the brute-force oracle; the
+crawl round covers the whole eligible frontier in one batch so every
+check column is a pure function of the synthetic URL grammar,
+replayable in SQL (sha1 excluded — no DuckDB builtin); Bloom membership
+is checked via its no-false-negatives invariant.
 """
 
 from __future__ import annotations
@@ -385,35 +390,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    # ---- rows-only (no SQL oracle): hash/LSH/stateful ops -------------------
+    # ---- hash/LSH/stateful ops — portable (md5-arithmetic) variants so
+    # every one has a DuckDB oracle; the xxhash64 fast paths share the
+    # exact same banding/voting/bucketing machinery and stay covered by
+    # tests/test_ml.py ---------------------------------------------------
 
     def q_fingerprint(spark, sf):
         docs = _t(spark, sf, "documents")
-        return docs.select("doc_id", mltext.fingerprint("text").alias("fingerprint"))
+        return docs.select("doc_id", mltext.fingerprint_md5("text").alias("fingerprint"))
 
     def q_minhash_pairs(spark, sf):
         docs = _t(spark, sf, "documents")
-        return dedup.minhash_lsh_candidates(docs, k=16, bands=4)
+        return dedup.minhash_lsh_candidates(docs, k=16, bands=4, portable_md5=True)
 
     def q_simhash(spark, sf):
         docs = _t(spark, sf, "documents")
-        return dedup.simhash(docs).select("doc_id", "simhash")
+        return dedup.simhash(docs, portable_md5=True).select("doc_id", "simhash")
+
+    # full-coverage LSH/IVF parameters: every bucket is probed, so the
+    # approximate result provably equals brute force — which IS the
+    # DuckDB oracle (the recall-vs-brute-force check as an exact match)
 
     def q_ann_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.where("vec_id < 3").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.ann_topk(emb, queries_df, k=5, n_planes=8, probes=2, tables=4)
+        return similarity.ann_topk(
+            emb, queries_df, k=5, n_planes=1, probes=1, tables=2
+        ).withColumn("cosine", F.round("cosine", 4))
 
     def q_ivf_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.where("vec_id < 3").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return similarity.ivf_topk(emb, queries_df, k=5, n_clusters=16, n_probe=4)
+        return similarity.ivf_topk(
+            emb, queries_df, k=5, n_clusters=8, n_probe=8
+        ).withColumn("cosine", F.round("cosine", 4))
+
+    def q_embedding_near_dups(spark, sf):
+        # plant exact duplicates (vec_id+100000), single-bucket coverage
+        # (n_planes=0) so the LSH result provably equals the all-pairs
+        # threshold join the oracle computes
+        base = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        dup = base.where("vec_id < 15").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        return dedup.embedding_near_dups(
+            base.unionByName(dup), threshold=0.99, n_planes=0, max_bucket=100_000
+        ).withColumn("cosine", F.round("cosine", 4))
 
     def q_bloom_seen(spark, sf):
+        # oracle-able invariant: a Bloom filter has NO false negatives —
+        # every inserted url must probe true
         from hydra_spark.seen import BloomSeenSet
 
         docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
@@ -422,6 +452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return seen.check(docs.select("url"), shards).select("url", "seen")
 
     def q_crawl_round(spark, sf):
+        # one round covering the whole (eligible) frontier: the checked
+        # set and every check column below are then pure functions of the
+        # synthetic URL grammar, replayable in DuckDB (sha1/checksum has
+        # no DuckDB builtin — excluded)
         from hydra_spark.config import DEFAULT
         from hydra_spark.crawl.loop import init_state, run_crawl
         from hydra_spark.datagen import generate_frontier
@@ -431,16 +465,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frontier = generate_frontier(spark, pages)
         store = StateStore(tempfile.mkdtemp(prefix="hydra_q_"))
         init_state(store, frontier)
-        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100), rounds=2)
+        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
         return store.checks.read(spark).select(
-            "resource_id", "url", "domain", "status", "checksum", "filesize"
+            "resource_id", "url", "domain", "status", "filesize", "mime_type"
         )
 
     def q_multimodal_features(spark, sf):
         from hydra_spark.ml.multimodal import extract_features, synthetic_assets
 
         assets = synthetic_assets(spark, 200)
-        return extract_features(assets, fake=True)
+        feats = extract_features(assets, fake=True)
+        # scalar encoding of the feature vector (exact: features are
+        # x/256 with power-of-two denominators, so floor(x*1e6) is
+        # deterministic in both float32 and double)
+        enc = F.array_join(
+            F.transform(
+                "features", lambda x: F.floor(x.cast("double") * 1000000).cast("long").cast("string")
+            ),
+            ",",
+        )
+        return feats.select("asset_id", "media_type", "n_bytes", enc.alias("features_enc"))
+
+    def q_xlsx_parse(spark, sf):  # S7: stdlib xlsx decode → typed ingest
+        from hydra_spark.analysis.excel import analyse_excel_batch
+        from hydra_spark.analysis.xlsx import xlsx_bytes
+
+        payloads = [
+            (
+                f"https://files.example.com/wb{i}.xlsx", f"r{i}", "d1",
+                bytearray(xlsx_bytes(
+                    [["code", "label", "ratio"]]
+                    + [[i * 100 + j, f"item_{j}", j + 0.5] for j in range(1, 5)]
+                )),
+                f"tbl{i}",
+            )
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            payloads,
+            "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+        )
+        parsed = analyse_excel_batch(df).where(F.col("row_json").isNotNull())
+        return parsed.select(
+            "url", "__id",
+            F.get_json_object("row_json", "$.code").cast("int").alias("code"),
+            F.get_json_object("row_json", "$.label").alias("label"),
+            F.get_json_object("row_json", "$.ratio").cast("double").alias("ratio"),
+        )
+
+    def q_csv_inspect(spark, sf):  # S6/A9: dialect + header-position detection
+        from hydra_spark.analysis.ingest import analyse_csv_batch
+
+        payloads = []
+        for i in range(60):
+            n_pre = i % 3  # 0-2 preamble lines before the header
+            lines = [f"rapport {i} ligne {p}" for p in range(n_pre)]
+            lines.append("code,label")
+            lines.extend(f"{i * 10 + j},item_{j}" for j in range(1, 4))
+            payloads.append(
+                (f"https://files.example.com/t{i}.csv", f"r{i}", "d1",
+                 bytearray("\n".join(lines).encode()), f"tbl{i}")
+            )
+        df = spark.createDataFrame(
+            payloads,
+            "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+        )
+        parsed = analyse_csv_batch(df).where(F.col("inspection").isNotNull())
+        return parsed.select(
+            "url",
+            F.get_json_object("inspection", "$.header_row_idx").cast("int").alias("header_row_idx"),
+            F.get_json_object("inspection", "$.separator").alias("separator"),
+            F.get_json_object("inspection", "$.total_lines").cast("int").alias("total_lines"),
+        )
+
+    def q_queue_depth(spark, sf):  # A10 over a real frontier
+        from hydra_spark.datagen import generate_frontier
+        from hydra_spark.stats import queue_depth
+
+        frontier = generate_frontier(spark, _docs_pages(spark, sf))
+        return queue_depth(frontier, None, NOW)
+
+    def q_all_checks_join(spark, sf):  # J2: all checks per resource, desc
+        c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+        )
+        return c.join(o, "c_custkey").select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+        )
+
+    def q_partitioned_export(spark, sf):  # S11/S15: zstd parquet, path-partitioned
+        out = tempfile.mkdtemp(prefix="hydra_export_") + "/customer"
+        c = _t(spark, sf, "customer")
+        (
+            c.select("c_custkey", "c_mktsegment", "c_acctbal")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("c_mktsegment")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return back.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count("*").alias("count"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
 
     return {
         "latest_check": q_latest_check,
@@ -467,12 +596,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "geojson_coords": q_geojson_coords,
         "cors_classification": q_cors_classification,
-        # rows-only below
+        "xlsx_parse": q_xlsx_parse,
+        "csv_inspect": q_csv_inspect,
+        "queue_depth": q_queue_depth,
+        "all_checks_join": q_all_checks_join,
+        "partitioned_export": q_partitioned_export,
         "fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
@@ -482,6 +616,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop_en = _STOP_EN.replace("'", "''") if "'" in _STOP_EN else _STOP_EN
     stop_fr = _STOP_FR
+    # word 3-gram shingles, twin of hydra_spark.ml.text.shingles
+    shingle_cte = r"""
+        SELECT doc_id,
+               CASE WHEN len(words) <= 2 THEN [array_to_string(words, ' ')]
+                    ELSE [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)]
+               END AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents)
+    """
+    # exact top-k by cosine — the oracle for BOTH brute force and the
+    # full-coverage ANN/IVF configurations (which provably equal it)
+    brute_force_topk = """
+            SELECT query_id, neighbor_id, CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q)
+            WHERE rank <= 5
+    """
+    # 60-bit integer from the first 15 hex nibbles of md5(url) — twin of
+    # datagen.generate_frontier's conv(substring(md5(url),1,15),16,10)
+    md5_idx = (
+        "list_sum([(strpos('0123456789abcdef', substring(md5(url), i, 1))-1)::BIGINT "
+        "<< (4*(15-i)) for i in range(1,16)])"
+    )
+    crawl_urls = (
+        "SELECT doc_id, text, 'https://host' || CAST(doc_id % 20 AS VARCHAR) || "
+        "'.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url FROM documents"
+    )
     return {
         "latest_check": f"""
             SELECT user_id, event_id AS latest_event_id,
@@ -528,9 +695,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawler_status_sums": """
             SELECT count(*) AS total,
-                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
-                   sum(CASE WHEN o_orderdate <= TIMESTAMP '1995-06-01 00:00:00' THEN 1 ELSE 0 END) AS due
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
+                   CAST(sum(CASE WHEN o_orderdate <= TIMESTAMP '1995-06-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS due
             FROM orders
         """,
         "percent_of_total": """
@@ -642,18 +809,9 @@ def oracle_sql() -> dict[str, str]:
                          len(regexp_extract_all(text, '{_STOP_FR}')) AS fr_hits
                   FROM documents)
         """,
-        "cosine_topk": """
-            SELECT query_id, neighbor_id, CAST(round(cosine, 4) AS DOUBLE) AS cosine, rank
-            FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS cosine,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q)
-            WHERE rank <= 5
-        """,
+        "cosine_topk": brute_force_topk,
+        "ann_topk": brute_force_topk,
+        "ivf_topk": brute_force_topk,
         "geojson_coords": """
             SELECT c_custkey,
                    CAST(((c_nationkey * 7) % 180) AS DOUBLE) AS lon,
@@ -668,5 +826,118 @@ def oracle_sql() -> dict[str, str]:
                               THEN 'clicker' ELSE 'lurker' END AS cls
                   FROM events GROUP BY user_id)
             GROUP BY cls
+        """,
+        "xlsx_parse": """
+            SELECT 'https://files.example.com/wb' || CAST(i AS VARCHAR) || '.xlsx' AS url,
+                   j AS __id,
+                   CAST(i * 100 + j AS INT) AS code,
+                   'item_' || CAST(j AS VARCHAR) AS label,
+                   CAST(j + 0.5 AS DOUBLE) AS ratio
+            FROM range(50) t(i), range(1, 5) u(j)
+        """,
+        "csv_inspect": """
+            SELECT 'https://files.example.com/t' || CAST(i AS VARCHAR) || '.csv' AS url,
+                   CAST(i % 3 AS INT) AS header_row_idx,
+                   ',' AS separator,
+                   CAST(3 AS INT) AS total_lines
+            FROM range(60) t(i)
+        """,
+        "queue_depth": f"""
+            SELECT CASE WHEN idx % 97 = 0 THEN 0 ELSE 1 END AS tier,
+                   count(*) AS count
+            FROM (SELECT {md5_idx} AS idx FROM ({crawl_urls}))
+            WHERE idx % 499 <> 0
+            GROUP BY 1
+        """,
+        "all_checks_join": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s
+            FROM customer JOIN orders ON o_custkey = c_custkey
+        """,
+        "partitioned_export": """
+            SELECT c_mktsegment AS segment, count(*) AS count,
+                   CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS sum_acctbal
+            FROM customer GROUP BY 1
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, list_min([md5(s) for s in shingles]) AS fingerprint
+            FROM ({shingle_cte})
+        """,
+        "minhash_pairs": f"""
+            WITH sh AS ({shingle_cte}),
+            sigs AS (
+              SELECT doc_id,
+                [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+                 for i in range(0,16)] AS sig
+              FROM sh
+            ), banded AS (
+              SELECT doc_id, b AS band,
+                md5(CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+              FROM sigs, range(0,4) t(b)
+            ), buckets AS (
+              SELECT band, band_hash, count(*) AS n FROM banded GROUP BY 1, 2
+            ), eligible AS (
+              SELECT banded.* FROM banded JOIN buckets USING (band, band_hash)
+              WHERE n > 1 AND n <= 50
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM eligible a JOIN eligible b USING (band, band_hash)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash": r"""
+            SELECT doc_id,
+              list_sum([CASE WHEN 2*list_sum([(h >> b) & 1 FOR h IN hashes]) > len(hashes)
+                             THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(0,16)]) AS simhash
+            FROM (
+              SELECT doc_id,
+                [list_sum([(strpos('0123456789abcdef', substring(md5(w), j, 1))-1)::BIGINT
+                           << (4*(4-j)) FOR j IN range(1,5)]) FOR w IN words] AS hashes
+              FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+                    FROM documents))
+        """,
+        "embedding_near_dups": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 15
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                           CAST(b.embedding AS DOUBLE[])), 6), 4) AS DOUBLE) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.99
+        """,
+        "bloom_seen": f"""
+            SELECT url, true AS seen
+            FROM (SELECT {_DOC_URL_SQL} AS url FROM documents)
+        """,
+        "crawl_round": f"""
+            WITH flagged AS (
+              SELECT *, md5(url) AS h, {md5_idx} AS idx FROM ({crawl_urls})
+            )
+            SELECT
+              substring(h,1,8) || '-' || substring(h,9,4) || '-' || substring(h,13,4)
+                || '-' || substring(h,17,4) || '-' || substring(h,21,12) AS resource_id,
+              url,
+              'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+              200 AS status,
+              CAST(length(text) AS BIGINT) AS filesize,
+              CASE WHEN substring(text,1,5) = '<html' THEN 'text/html'
+                   WHEN len(string_split(string_split(substring(text,1,200), chr(10))[1], ',')) >= 3
+                        AND strpos(substring(text,1,200), chr(10)) > 0 THEN 'text/csv'
+                   ELSE 'text/plain' END AS mime_type
+            FROM flagged
+            WHERE idx % 499 <> 0
+        """,
+        "multimodal_features": """
+            SELECT range AS asset_id,
+              CASE range % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+              CAST(256 AS BIGINT) AS n_bytes,
+              array_to_string([CAST(CAST(floor(x * 1000000.0 / 256.0) AS BIGINT) AS VARCHAR) for x in
+                [0, 0, 0, d, 0, 0, 256 - d, 0, 0, 0, 0, 0, 0, 0, 0, 0]], ',') AS features_enc
+            FROM (SELECT range,
+                         8 * len(regexp_extract_all(md5('42' || CAST(range AS VARCHAR)), '[0-9]')) AS d
+                  FROM range(200))
         """,
     }

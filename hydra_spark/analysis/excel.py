@@ -1,15 +1,17 @@
-"""Excel (xls/xlsx) reader — S7, import-gated.
+"""Excel (xlsx) reader — S7.
 
 Reference: udata_hydra/utils/reader.py:31-67 iterates sheets via
 openpyxl (xlsx) / xlrd (xls) and feeds the same casting pipeline as CSV.
-Neither library ships in this container, so the parse is gated behind an
-import-try: the Spark plumbing (binary column in, ROWS_SCHEMA out,
-mapInPandas batching) is identical to the CSV path and real; only the
-workbook decode needs the dependency.
+openpyxl does not ship in this container, but xlsx is just zip + XML:
+the stdlib codec in hydra_spark.analysis.xlsx covers the cell types
+that matter (sharedStrings, inline strings, formula strings, numbers).
+openpyxl is still preferred when importable (full fidelity for exotic
+workbooks); legacy .xls (BIFF) stays gated — it needs xlrd.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -17,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from hydra_spark.analysis.ingest import ROWS_SCHEMA, _analyse_one
+from hydra_spark.analysis.xlsx import XLSX_MAGIC, XLSX_MIME, xlsx_bytes, xlsx_rows  # noqa: F401
 
 try:  # pragma: no cover - not installed in this sandbox
     import openpyxl  # noqa: F401
@@ -27,16 +30,11 @@ except ImportError:
 
 
 def _rows_from_xlsx(data: bytes) -> list[list[str]]:
-    if not HAVE_OPENPYXL:
-        raise NotImplementedError(
-            "xlsx parsing requires openpyxl (not in this container); "
-            "the csv path covers the shared inspect/cast/ingest logic"
-        )
-    import io
-
-    wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
-    sheet = wb[wb.sheetnames[0]]
-    return [["" if c.value is None else str(c.value) for c in row] for row in sheet.iter_rows()]
+    if HAVE_OPENPYXL:  # pragma: no cover - not installed in this sandbox
+        wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
+        sheet = wb[wb.sheetnames[0]]
+        return [["" if c.value is None else str(c.value) for c in row] for row in sheet.iter_rows()]
+    return xlsx_rows(data)
 
 
 def analyse_excel_batch(df: DataFrame) -> DataFrame:
@@ -57,7 +55,7 @@ def analyse_excel_batch(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     rows = _rows_from_xlsx(bytes(html))
-                except NotImplementedError as e:
+                except Exception as e:  # malformed zip/XML, missing dep, ...
                     out.append((table, rid, did, url, None, None, None, f"excel:{e}"))
                     continue
                 buf = _io.StringIO()

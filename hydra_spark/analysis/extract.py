@@ -35,9 +35,22 @@ def _maybe_gunzip(b) -> bytes | None:
     return b
 
 
+def _decode_or_sheet(b: bytes) -> str:
+    """utf-8 decode, except xlsx payloads decode to their CSV-shaped
+    sheet text — keep in lockstep with ingest._extract_text_py."""
+    if b[:4] == b"PK\x03\x04":
+        from hydra_spark.analysis.xlsx import xlsx_rows
+
+        try:
+            return "\n".join(",".join(r) for r in xlsx_rows(b))
+        except Exception:
+            return ""
+    return b.decode("utf-8", "replace")
+
+
 @F.pandas_udf(T.StringType())
 def extract_text(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: _maybe_gunzip(b).decode("utf-8", "replace") if b is not None else None)
+    s = html.map(lambda b: _decode_or_sheet(_maybe_gunzip(b)) if b is not None else None)
     s = pd.Series(s, dtype="object")
     mask = s.notna()
     out = s.copy()

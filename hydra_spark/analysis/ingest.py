@@ -67,6 +67,21 @@ def _analyse_one(
     url: str, rid: str, did: str, data: bytes, table: str, prev_inspection: dict | None = None
 ) -> list[tuple]:
     data = _gunzip_if_needed(data)
+    if data[:4] == b"PK\x03\x04":  # xlsx: decode sheet → CSV text, then
+        # the shared inspect/cast pipeline (typing semantics identical
+        # to the CSV path — utils/reader.py routes both through casting)
+        import csv as _csv
+        import io as _io
+
+        from hydra_spark.analysis.xlsx import xlsx_rows
+
+        try:
+            rows = xlsx_rows(data)
+        except Exception as e:
+            return [(table, rid, did, url, None, None, None, f"excel:{e}")]
+        buf = _io.StringIO()
+        _csv.writer(buf).writerows(rows)
+        data = buf.getvalue().encode()
     # validate_then_detect (csv_like/__init__.py:41-50): when a previous
     # inspection exists and the file still conforms, reuse it — stable
     # types across re-crawls, no re-detection cost
@@ -85,12 +100,13 @@ def _analyse_one(
     text = data.decode(insp["encoding"])
     reader = _csv.reader(_io.StringIO(text), delimiter=insp["separator"])
     rows = [r for r in reader if r]
+    hidx = insp.get("header_row_idx", 0)  # preamble lines before the header
     header = [db_col_name(h) for h in insp["header"]]
     types = [insp["columns"][h]["python_type"] for h in insp["header"]]
 
     out = []
     insp_json = json.dumps(insp, default=_json_default)
-    for i, r in enumerate(rows[1:], start=1):
+    for i, r in enumerate(rows[hidx + 1 :], start=1):
         rec = {}
         for name, t, v in zip(header, types, r):
             try:
@@ -124,6 +140,13 @@ def _extract_text_py(data: bytes) -> str:
     import re
 
     data = _gunzip_if_needed(data)
+    if data[:4] == b"PK\x03\x04":
+        from hydra_spark.analysis.xlsx import xlsx_rows
+
+        try:
+            return "\n".join(",".join(r) for r in xlsx_rows(data))
+        except Exception:
+            return ""
     s = data.decode("utf-8", "replace")
     if not s.startswith("<html"):
         return s

@@ -37,6 +37,7 @@ from hydra_spark.analysis.casting import (
 
 SEPARATORS = [",", ";", "|", "\t"]
 HEADER_SCAN_ROWS = 10
+MAX_PREAMBLE_ROWS = 5  # how deep to look for the header row
 MAX_COL_NAME_BYTES = 64  # PG NAMEDATALEN guard kept for parity (F9)
 
 
@@ -54,33 +55,56 @@ def _rows(text: str, sep: str, limit: int | None = None) -> list[list[str]]:
     return out
 
 
-def detect_separator(text: str) -> str:
-    """Consistent-column-count vote over the first rows."""
-    best_valid, best_cols = None, 1
-    best_any, best_any_cols = ",", 1
+def detect_dialect(text: str) -> tuple[str, int]:
+    """(separator, header_row_idx): consistent-column-count vote over a
+    scan window, trying successively deeper header offsets (files with
+    preamble lines — a title, a generation date — before the real
+    header; csv-detective scans for the header position the same way).
+    Offsets are indices into the non-empty reader rows. The earliest
+    consistent offset wins; among separators, more columns win ties."""
+    best: tuple[int, int, str] | None = None  # (header_idx, -ncols, sep)
+    ragged: str | None = None
     for sep in SEPARATORS:
         try:
-            rows = [r for r in _rows(text, sep, HEADER_SCAN_ROWS) if r]
+            rows = [r for r in _rows(text, sep, HEADER_SCAN_ROWS + MAX_PREAMBLE_ROWS) if r]
         except csv.Error:
             continue
         if not rows:
             continue
-        ncols = len(rows[0])
-        if ncols > best_any_cols:
-            best_any, best_any_cols = sep, ncols
-        if ncols >= 2 and all(len(r) == ncols for r in rows):
-            if ncols > best_cols:
-                best_valid, best_cols = sep, ncols
-    if best_valid is not None:
-        return best_valid
-    if best_any_cols >= 2:
+        found = False
+        for idx in range(min(MAX_PREAMBLE_ROWS + 1, len(rows))):
+            ncols = len(rows[idx])
+            window = rows[idx : idx + HEADER_SCAN_ROWS]
+            # a deep header is only credible when the skipped rows are
+            # NARROWER than the table (title/date preamble) and at least
+            # one data row follows — a wider first row is a ragged file,
+            # not preamble (the reference reports those as errors)
+            deep_ok = idx == 0 or (
+                len(window) >= 2 and all(len(r) < ncols for r in rows[:idx])
+            )
+            if ncols >= 2 and deep_ok and all(len(r) == ncols for r in window):
+                cand = (idx, -ncols, sep)
+                if best is None or cand < best:
+                    best = cand
+                found = True
+                break  # deeper offsets would only hide real preamble
+        if not found and ragged is None and max(len(r) for r in rows[:HEADER_SCAN_ROWS]) >= 2:
+            ragged = sep
+    if best is not None:
+        return best[2], best[0]
+    if ragged is not None:
         # a separator produces multiple columns but the counts are ragged
         raise ParsingError(
             f"Number of columns is not even across the first {HEADER_SCAN_ROWS} rows "
-            f"(detected separator: {best_any})."
+            f"(detected separator: {ragged})."
         )
     # single-column file: treat as comma-separated one-column data
-    return ","
+    return ",", 0
+
+
+def detect_separator(text: str) -> str:
+    """Back-compat wrapper over detect_dialect."""
+    return detect_dialect(text)[0]
 
 
 def validate_inspection(data: bytes, prev: dict) -> dict | None:
@@ -96,16 +120,17 @@ def validate_inspection(data: bytes, prev: dict) -> dict | None:
         text = data.decode(prev.get("encoding", "utf-8"))
     except UnicodeDecodeError:
         return None
+    hidx = prev.get("header_row_idx", 0)
     rows = [r for r in _rows(text, prev["separator"]) if r]
-    if not rows or rows[0] != prev["header"]:
+    if len(rows) <= hidx or rows[hidx] != prev["header"]:
         return None
-    # separator sanity: the previous separator must still be the winner
+    # dialect sanity: the previous separator + header offset must still win
     try:
-        if detect_separator(text) != prev["separator"]:
+        if detect_dialect(text) != (prev["separator"], hidx):
             return None
     except ParsingError:
         return None
-    body = rows[1:]
+    body = rows[hidx + 1 :]
     ncols = len(prev["header"])
     if any(len(r) != ncols for r in body[: HEADER_SCAN_ROWS - 1]):
         return None
@@ -176,9 +201,9 @@ def inspect_csv(data: bytes) -> dict:
     if not text.strip():
         raise ParsingError("Could not accurately retrieve headers position")
 
-    sep = detect_separator(text)
+    sep, header_idx = detect_dialect(text)
     rows = [r for r in _rows(text, sep) if r]
-    header, body = rows[0], rows[1:]
+    header, body = rows[header_idx], rows[header_idx + 1 :]
     if any(len(h.encode("utf-8")) >= MAX_COL_NAME_BYTES for h in header):
         raise ParsingError("Column names are too long")
 
@@ -210,7 +235,7 @@ def inspect_csv(data: bytes) -> dict:
     return {
         "encoding": encoding,
         "separator": sep,
-        "header_row_idx": 0,
+        "header_row_idx": header_idx,
         "header": header,
         "columns": cols,
         "total_lines": len(body),

@@ -1,0 +1,165 @@
+"""Stdlib xlsx codec — zip + sheet XML + sharedStrings.
+
+xlsx is just a zip of XML parts; `xlsx_rows` parses the first sheet into
+rows of strings (the shape hydra's reader produces via openpyxl,
+reference utils/reader.py:31-43) with zero dependencies, and
+`xlsx_bytes` is its deterministic writer twin for fixtures/datagen.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+XLSX_MAGIC = b"PK\x03\x04"
+XLSX_MIME = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' → 0, 'AB3' → 27 (zero-based column from the letter part)."""
+    n = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _cell_text(elem) -> str:
+    """All <t> text under a cell/si node (handles rich-text runs)."""
+    return "".join(t.text or "" for t in elem.iter(f"{_NS}t"))
+
+
+def _num_str(v: str) -> str:
+    """Render a numeric cell the way `str(openpyxl_value)` would:
+    integral → no decimal point, else the float repr."""
+    try:
+        f = float(v)
+    except ValueError:
+        return v
+    if f.is_integer() and "e" not in v.lower() and "." not in v:
+        return v  # already an integer literal
+    if f.is_integer():
+        return str(int(f))
+    return repr(f)
+
+
+def xlsx_rows(data: bytes) -> list[list[str]]:
+    """Stdlib xlsx → rows of strings (first sheet), the shape
+    utils/reader.py:31-43 produces via openpyxl iter_rows. Sparse rows
+    are densified from cell refs; trailing missing cells are left out
+    (matching openpyxl's used-range behavior closely enough for the
+    tabular files hydra ingests)."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    names = zf.namelist()
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [_cell_text(si) for si in root.iter(f"{_NS}si")]
+
+    sheet_name = next(
+        (n for n in sorted(names) if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)), None
+    )
+    if sheet_name is None:
+        raise ValueError("xlsx has no worksheet XML")
+    root = ElementTree.fromstring(zf.read(sheet_name))
+
+    rows: list[list[str]] = []
+    for row in root.iter(f"{_NS}row"):
+        cells: dict[int, str] = {}
+        width = 0
+        for c in row.iter(f"{_NS}c"):
+            idx = _col_index(c.get("r", "")) if c.get("r") else width
+            t = c.get("t", "n")
+            if t == "s":
+                v = c.find(f"{_NS}v")
+                text = shared[int(v.text)] if v is not None else ""
+            elif t == "inlineStr":
+                is_el = c.find(f"{_NS}is")
+                text = _cell_text(is_el) if is_el is not None else ""
+            elif t in ("str", "b", "e"):
+                v = c.find(f"{_NS}v")
+                text = v.text or "" if v is not None else ""
+            else:  # numeric
+                v = c.find(f"{_NS}v")
+                text = _num_str(v.text) if v is not None and v.text else ""
+            cells[idx] = text
+            width = max(width, idx + 1)
+        rows.append([cells.get(i, "") for i in range(width)])
+    return rows
+
+
+def xlsx_bytes(rows: list[list]) -> bytes:
+    """Deterministic minimal xlsx writer (fixtures/datagen): one sheet,
+    inline strings for non-numeric cells, fixed zip timestamps so equal
+    rows → equal bytes."""
+
+    def esc(s: str) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    def cell_xml(ref: str, v) -> str:
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{esc(v)}</t></is></c>'
+
+    def col_letters(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell_xml(f"{col_letters(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    ns = _NS[1:-1]
+    files = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>"
+        ),
+        "_rels/.rels": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f'<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{ns}"><sheetData>{body}</sheetData></worksheet>'
+        ),
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in files.items():
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, content)
+    return buf.getvalue()

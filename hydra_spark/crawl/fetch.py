@@ -70,9 +70,14 @@ def simulate_fetch(
 
     # mime: sniff leading bytes (magic-equivalent, utils/file.py:94-113):
     # gzip magic → application/gzip (transparent extraction downstream,
-    # utils/file.py:37-43); html marker → text/html; a first line with
-    # ≥2 commas followed by more lines → text/csv; else text/plain
+    # utils/file.py:37-43); zip magic → xlsx (the only zip payload in
+    # this corpus, like the reference's magic→xlsx detection); html
+    # marker → text/html; a first line with ≥2 commas followed by more
+    # lines → text/csv; else text/plain
+    from hydra_spark.analysis.xlsx import XLSX_MIME
+
     is_gzip = F.hex(F.substring(F.col("html"), 1, 2)) == "1F8B"
+    is_zip = F.hex(F.substring(F.col("html"), 1, 4)) == "504B0304"
     # lenient UTF-8 (cast, not decode): gzip bodies are not valid UTF-8
     # and Spark 4's decode() raises on malformed input
     head = F.substring(F.col("html"), 1, 200).cast("string")
@@ -80,6 +85,7 @@ def simulate_fetch(
     looks_csv = (F.size(F.split(first_line, ",")) >= 3) & (F.instr(head, "\n") > 0)
     mime = F.when(~found, F.lit(None).cast("string")).otherwise(
         F.when(is_gzip, F.lit("application/gzip"))
+        .when(is_zip, F.lit(XLSX_MIME))
         .when(head.startswith("<html"), F.lit("text/html"))
         .when(looks_csv, F.lit("text/csv"))
         .otherwise(F.lit("text/plain"))

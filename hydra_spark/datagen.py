@@ -122,14 +122,18 @@ def generate_pages(
         .withColumn("payload", F.when(is_csv, csv_body).otherwise(html_body))
         .withColumn("html", F.encode(F.col("payload"), "UTF-8"))
         .withColumn("lang", F.when(F.col("host_id") % 3 == 0, F.lit("en")).otherwise(F.lit("fr")))
-        # a slice of CSV pages ships gzip-compressed (S5/C17 path);
-        # `text` stays the decompressed reference text
+        # a slice of CSV pages ships gzip-compressed (S5/C17 path) and
+        # another slice as xlsx workbooks (S7 path); `text` stays the
+        # decompressed/decoded reference text either way
         .withColumn("gzipped", is_csv & (pid % 131 == 3))
+        .withColumn("xlsxed", is_csv & (pid % 127 == 5) & ~(pid % 131 == 3))
     )
-    out = df.select("url", "warc_ts", "html", "text", "lang", "gzipped")
+    out = df.select("url", "warc_ts", "html", "text", "lang", "gzipped", "xlsxed")
 
     def _gz(batches):
         import gzip
+
+        from hydra_spark.analysis.xlsx import xlsx_bytes
 
         for pdf in batches:
             mask = pdf["gzipped"]
@@ -137,7 +141,12 @@ def generate_pages(
                 pdf.loc[mask, "html"] = pdf.loc[mask, "html"].map(
                     lambda b: gzip.compress(bytes(b), compresslevel=1, mtime=0)
                 )
-            yield pdf.drop(columns=["gzipped"])
+            xmask = pdf["xlsxed"]
+            if xmask.any():
+                pdf.loc[xmask, "html"] = pdf.loc[xmask, "text"].map(
+                    lambda t: xlsx_bytes([line.split(",") for line in t.split("\n")])
+                )
+            yield pdf.drop(columns=["gzipped", "xlsxed"])
 
     return out.mapInPandas(
         _gz, schema="url string, warc_ts timestamp, html binary, text string, lang string"
@@ -163,7 +172,11 @@ def generate_frontier(
         F.substring(h, 17, 4),
         F.substring(h, 21, 12),
     )
-    idx = F.xxhash64(F.col("url"), F.lit(seed + 2))
+    # md5-derived index (first 15 hex nibbles → 60-bit int) rather than
+    # xxhash64: same determinism, but reproducible in any md5-capable
+    # engine — the DuckDB oracle for the crawl round replays deleted/
+    # priority/harvest flags from it
+    idx = F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10).cast("long")
     fr = pages.select(
         F.substring(F.md5(F.concat(F.lit("ds"), F.col("url"))), 1, 24).alias("dataset_id"),
         rid.alias("resource_id"),

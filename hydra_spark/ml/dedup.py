@@ -86,10 +86,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text: Column | str, k: int = 32, ngram: int = 3, seed: int = 42) -> Column:
-    """array<long> of k min-hashes over word shingles — JVM-side."""
+def minhash_signature(
+    text: Column | str, k: int = 32, ngram: int = 3, seed: int = 42, portable_md5: bool = False
+) -> Column:
+    """k min-hashes over word shingles — JVM-side.
+
+    Default: array<long> of seeded xxhash64 passes (fast path).
+    `portable_md5=True`: array<string> of min md5-hex of "<i>|<shingle>"
+    — slower (hex materialization) but reproducible in any engine with
+    an md5 builtin, which is what the cross-engine oracle check needs."""
     sh = shingles(text, ngram)
-    sigs = [F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))) for i in range(k)]
+    if portable_md5:
+        sigs = [
+            F.array_min(
+                F.transform(
+                    sh, lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "UTF-8"))
+                )
+            )
+            for i in range(k)
+        ]
+    else:
+        sigs = [F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))) for i in range(k)]
     return F.array(*sigs)
 
 
@@ -102,23 +119,36 @@ def minhash_lsh_candidates(
     seed: int = 42,
     max_bucket: int = 50,
     log_dropped: bool = False,
+    portable_md5: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
 
     bands × rows = k; same band hash in any band → candidate. Buckets
     larger than `max_bucket` (boilerplate) are dropped — logged as a
-    coverage cap rather than exploding the self-join.
+    coverage cap rather than exploding the self-join. `portable_md5`
+    switches both hash stages to md5 strings ("<b>|<sig slice>") so the
+    candidate set is reproducible in any md5-capable engine (the
+    oracle-check path; same banding machinery either way).
     """
     rows = k // bands
     sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(text_col, k, seed=seed).alias("sig")
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, k, seed=seed, portable_md5=portable_md5).alias("sig"),
     )
-    band_cols = [
-        F.xxhash64(F.array_join(F.transform(
-            F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
-        ), ","), F.lit(b)).alias("band_hash")
-        for b in range(bands)
-    ]
+    if portable_md5:
+        band_cols = [
+            F.md5(F.encode(F.concat(
+                F.lit(f"{b}|"), F.array_join(F.slice("sig", b * rows + 1, rows), ",")
+            ), "UTF-8")).alias("band_hash")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.array_join(F.transform(
+                F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string")
+            ), ","), F.lit(b)).alias("band_hash")
+            for b in range(bands)
+        ]
     banded = sig.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
     )
@@ -183,11 +213,22 @@ def minhash_dedup(
 _SIMHASH_OUT = T.LongType()
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable_md5: bool = False
+) -> DataFrame:
     """64-bit SimHash: token hashes computed JVM-side (xxhash64 per
-    word), bit voting in numpy (Arrow-batched pandas UDF)."""
+    word), bit voting in numpy (Arrow-batched pandas UDF).
+
+    `portable_md5=True` swaps the word hash for the 16-bit value of the
+    first 4 hex chars of md5(word) — the voting path is identical (bits
+    16..63 simply never win), and the result is reproducible in any
+    engine with md5 + nibble arithmetic (the oracle-check path)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashed = df.withColumn("_whashes", F.transform(words, lambda w: F.xxhash64(w)))
+    if portable_md5:
+        word_hash = lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 4), 16, 10).cast("long")  # noqa: E731
+    else:
+        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
+    hashed = df.withColumn("_whashes", F.transform(words, word_hash))
 
     @F.pandas_udf(_SIMHASH_OUT)
     def vote(hashes: pd.Series) -> pd.Series:

@@ -146,3 +146,48 @@ def test_profile_values(spark):
     p = insp["profile"]["a"]
     assert (p["min"], p["max"], p["mean"]) == (1.0, 3.0, 2.0)
     assert abs(p["std"] - 1.0) < 1e-12
+
+
+def test_preamble_header_row_detected(spark):
+    """Files with title/date preamble lines before the header parse from
+    the detected header position (csv-detective's header_row_idx)."""
+    body = b"Rapport annuel\nG\xc3\xa9n\xc3\xa9r\xc3\xa9 le 2024-01-01\ncode,number,label\n75056,12,paris\n13055,7,marseille"
+    recs, insp = _typed(spark, body)
+    assert insp["header_row_idx"] == 2
+    assert insp["separator"] == ","
+    assert insp["header"] == ["code", "number", "label"]
+    assert insp["total_lines"] == 2
+    assert (recs[0]["code"], recs[0]["number"], recs[0]["label"]) == (75056, 12, "paris")
+
+
+def test_preamble_containing_separator(spark):
+    """A preamble line that itself contains the separator (fewer columns
+    than the table) still resolves."""
+    body = b"note;v1\na;b;c;d\n1;2;3;4\n5;6;7;8"
+    recs, insp = _typed(spark, body)
+    assert insp["header_row_idx"] == 1
+    assert insp["separator"] == ";"
+    assert len(recs) == 2 and recs[0]["a"] == 1
+
+
+def test_wider_first_row_is_still_ragged_error(spark):
+    """A first row WIDER than the rest is a ragged file, not preamble —
+    the reference error must be preserved."""
+    collected, _ = _ingest(spark, b"a,b,c\n1,2\n3,4")
+    assert collected[0]["parsing_error"] == (
+        "csv_detective:Number of columns is not even across the first 10 rows "
+        "(detected separator: ,)."
+    )
+
+
+def test_preamble_validation_roundtrip(spark):
+    """validate_then_detect honors the stored header_row_idx."""
+    from hydra_spark.analysis.inspect import inspect_csv, validate_inspection
+
+    data = b"titre\ncode,label\n1,a\n2,b"
+    prev = inspect_csv(data)
+    assert prev["header_row_idx"] == 1
+    again = validate_inspection(b"titre\ncode,label\n3,c", prev)
+    assert again is not None and again["total_lines"] == 1
+    # header moved -> invalid, full re-detection required
+    assert validate_inspection(b"code,label\n3,c", prev) is None

@@ -92,7 +92,7 @@ def test_ogc_capabilities(spark):
     assert "EPSG:4326" in meta["crs"] and "application/json" in meta["output_formats"]
 
 
-def test_excel_stub_reports_missing_dep(spark):
+def test_excel_malformed_zip_reports_error(spark):
     df = spark.createDataFrame(
         [("http://x/f.xlsx", "r1", "d1", bytearray(b"PK\x03\x04fake"), "tbl")],
         "url string, resource_id string, dataset_id string, html binary, parsing_table string",

@@ -1,0 +1,105 @@
+"""S7: stdlib xlsx codec + the xlsx ingest path through the crawl.
+
+Mirrors the reference's xlsx fixtures (tests/test_analysis/
+test_analysis_csv.py uses .xlsx inputs through the same casting
+pipeline as CSV — utils/reader.py:31-67)."""
+
+from pyspark.sql import functions as F
+
+from hydra_spark.analysis.excel import analyse_excel_batch
+from hydra_spark.analysis.ingest import analyse_csv_batch
+from hydra_spark.analysis.xlsx import XLSX_MIME, xlsx_bytes, xlsx_rows
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.loop import init_state, run_crawl
+from hydra_spark.datagen import generate_frontier, generate_pages
+from hydra_spark.storage import StateStore
+
+CSV = "code_insee,number,label\n75056,12,paris\n13055,7,marseille\n69123,3.5,lyon"
+
+
+def test_xlsx_codec_roundtrip():
+    rows = [["code", "label"], ["12", "item_a"], ["5.5", "item,b"], ["", "x<y&z"]]
+    data = xlsx_bytes(rows)
+    assert xlsx_rows(data) == rows
+    assert xlsx_bytes(rows) == data  # deterministic bytes
+    # numeric cells render like str(value): integral without a point
+    assert xlsx_rows(xlsx_bytes([["n"], [2], [2.5]])) == [["n"], ["2"], ["2.5"]]
+
+
+def test_xlsx_shared_strings():
+    """Workbooks from real writers use sharedStrings — cover t="s"."""
+    import io
+    import zipfile
+
+    base = xlsx_bytes([["h"], ["x"]])
+    zf = zipfile.ZipFile(io.BytesIO(base))
+    files = {n: zf.read(n).decode() for n in zf.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    files["xl/sharedStrings.xml"] = (
+        f'<sst xmlns="{ns}"><si><t>alpha</t></si><si><r><t>be</t></r><r><t>ta</t></r></si></sst>'
+    )
+    files["xl/worksheets/sheet1.xml"] = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        f'<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        f"</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, content in files.items():
+            out.writestr(n, content)
+    assert xlsx_rows(buf.getvalue()) == [["alpha", "", "beta"]]  # gap densified
+
+
+def test_xlsx_ingest_matches_csv_path(spark):
+    """The xlsx route must produce byte-identical typed rows to the CSV
+    route for the same logical table (shared inspect/cast pipeline)."""
+    rows = [line.split(",") for line in CSV.split("\n")]
+    xdf = spark.createDataFrame(
+        [("http://x/f.xlsx", "r1", "d1", bytearray(xlsx_bytes(rows)), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    cdf = spark.createDataFrame(
+        [("http://x/f.xlsx", "r1", "d1", bytearray(CSV.encode()), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    got_x = {r["__id"]: r["row_json"] for r in analyse_excel_batch(xdf).collect()}
+    got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
+    assert got_x == got_c and len(got_x) == 3
+    assert '"number": 3.5' in got_x[3] and '"label": "lyon"' in got_x[3]
+
+
+def test_crawl_round_parses_xlsx_pages(spark, tmp_path):
+    """End-to-end: xlsx pages in the corpus are mime-sniffed, parsed into
+    typed rows, and their extracted text equals the reference text."""
+    pages = generate_pages(spark, 2000, n_hosts=10).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    checks = store.checks.read(spark)
+    # parseable = fetchable (2xx) xlsx pages; 404/429/timeout sentinels
+    # keep their mime but are rightly not parsed
+    xlsx_checks = checks.where(
+        (F.col("mime_type") == XLSX_MIME) & (F.col("status") == 200)
+    ).collect()
+    assert xlsx_checks, "corpus should contain fetchable xlsx pages"
+    for r in xlsx_checks:
+        assert r["parsing_table"] is not None and r["parsing_error"] is None
+
+    # typed rows exist for each xlsx table
+    parsed = store.parsed_rows.read(spark)
+    n_rows = (
+        parsed.where(F.col("parsing_table").isin([r["parsing_table"] for r in xlsx_checks]))
+        .where(F.col("row_json").isNotNull())
+        .count()
+    )
+    assert n_rows == 20 * len(xlsx_checks)  # 20 csv data rows per page
+
+    # byte-identical extracted text vs the pages.text reference column
+    texts = store.texts.read(spark).select("url", F.col("text").alias("extracted"))
+    ref = pages.select("url", "text")
+    joined = texts.join(ref, "url").where(
+        F.col("url").isin([r["url"] for r in xlsx_checks])
+    )
+    mism = joined.where(F.col("extracted") != F.col("text")).count()
+    assert mism == 0 and joined.count() == len(xlsx_checks)
