@@ -538,6 +538,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("inspection", "$.total_lines").cast("int").alias("total_lines"),
         )
 
+    def q_ogc_metadata(spark, sf):  # S17: capabilities extraction
+        from hydra_spark.analysis.ogc import inspect_ogc_batch, synthetic_capabilities
+
+        rows = []
+        for i in range(30):
+            if i % 2 == 0:
+                svc, ver = "WFS", ["2.0.0", "1.1.0", "1.0.0"][(i // 2) % 3]
+                url = f"http://svc{i}.example.com/wfs?typeName=ns:layer_{i % 4}"
+            else:
+                svc, ver = "WMS", ["1.3.0", "1.1.1"][(i // 2) % 2]
+                url = f"http://svc{i}.example.com/wms"
+            xml = synthetic_capabilities(svc, layers=i % 4 + 1, version=ver)
+            rows.append((url, f"r{i}", bytearray(xml.encode()), None, None))
+        df = spark.createDataFrame(
+            rows, "url string, resource_id string, html binary, format string, title string"
+        )
+        out = inspect_ogc_batch(df)
+        return out.select(
+            "resource_id",
+            F.get_json_object("ogc_metadata", "$.format").alias("format"),
+            F.get_json_object("ogc_metadata", "$.version").alias("version"),
+            F.get_json_object("ogc_metadata", "$.detected_layer.name").alias("detected_layer"),
+            F.size(F.from_json(F.get_json_object("ogc_metadata", "$.layers"), "array<string>"))
+            .alias("n_layers"),
+        )
+
     def q_queue_depth(spark, sf):  # A10 over a real frontier
         from hydra_spark.datagen import generate_frontier
         from hydra_spark.stats import queue_depth
@@ -598,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cors_classification": q_cors_classification,
         "xlsx_parse": q_xlsx_parse,
         "csv_inspect": q_csv_inspect,
+        "ogc_metadata": q_ogc_metadata,
         "queue_depth": q_queue_depth,
         "all_checks_join": q_all_checks_join,
         "partitioned_export": q_partitioned_export,
@@ -841,6 +868,15 @@ def oracle_sql() -> dict[str, str]:
                    ',' AS separator,
                    CAST(3 AS INT) AS total_lines
             FROM range(60) t(i)
+        """,
+        "ogc_metadata": """
+            SELECT 'r' || CAST(i AS VARCHAR) AS resource_id,
+                   CASE WHEN i % 2 = 0 THEN 'wfs' ELSE 'wms' END AS format,
+                   CASE WHEN i % 2 = 0 THEN ['2.0.0','1.1.0','1.0.0'][(i // 2) % 3 + 1]
+                        ELSE ['1.3.0','1.1.1'][(i // 2) % 2 + 1] END AS version,
+                   CASE WHEN i % 2 = 0 THEN 'ns:layer_' || CAST(i % 4 AS VARCHAR) END AS detected_layer,
+                   CAST(i % 4 + 1 AS INT) AS n_layers
+            FROM range(30) t(i)
         """,
         "queue_depth": f"""
             SELECT CASE WHEN idx % 97 = 0 THEN 0 ELSE 1 END AS tier,

@@ -87,9 +87,10 @@ def test_ogc_capabilities(spark):
         "url string, resource_id string, html binary",
     )
     meta = json.loads(inspect_ogc_batch(df).first()["ogc_metadata"])
-    assert meta["version"] == "2.0.0"
-    assert meta["layers"] == [f"layer_{i}" for i in range(4)]
-    assert "EPSG:4326" in meta["crs"] and "application/json" in meta["output_formats"]
+    assert meta["format"] == "wfs" and meta["version"] == "2.0.0"
+    assert [la["name"] for la in meta["layers"]] == [f"ns:layer_{i}" for i in range(4)]
+    assert meta["layers"][0]["default_crs"] == "urn:ogc:def:crs:EPSG::4326"
+    assert "application/json" in meta["output_formats"]
 
 
 def test_excel_malformed_zip_reports_error(spark):
