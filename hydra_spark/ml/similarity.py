@@ -10,12 +10,16 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -132,6 +136,10 @@ def ivf_topk(
     scans only its `n_probe` nearest clusters (exact cosine inside).
     Scanned fraction ≈ n_probe / n_clusters; the inverted lists are just
     a `cluster` column — on a real table, partition/z-order by it."""
+    logger.info(
+        "ivf_topk: n_probe=%d / n_clusters=%d -> expected corpus scan fraction %.4f",
+        n_probe, n_clusters, min(1.0, n_probe / max(n_clusters, 1)),
+    )
     cents = ivf_train_centroids(corpus, n_clusters, vec_col, seed=seed)
     c = ivf_assign(corpus, cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -192,6 +200,12 @@ def ann_topk(
     joined back exactly once afterwards. Carrying vectors through the
     candidate shuffles would cost ≈ candidates × 2 full vectors of
     shuffle bytes, the dominant term at corpus scale."""
+    # no silent caps: the scan fraction IS the recall lever — surface it
+    frac = min(1.0, tables * (min(probes, n_planes) + 1) / 2 ** n_planes)
+    logger.info(
+        "ann_topk: tables=%d probes=%d n_planes=%d -> expected corpus scan fraction %.4f",
+        tables, probes, n_planes, frac,
+    )
     cands = []
     for t in range(tables):
         c = hyperplane_signature(corpus, vec_col, n_planes, seed + 101 * t).select(

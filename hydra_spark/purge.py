@@ -12,11 +12,15 @@ Both are rewrite-style maintenance jobs (run rarely, not per round).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hydra_spark.stats import orphan_tables
 from hydra_spark.storage import StateStore
+
+logger = logging.getLogger(__name__)
 
 
 def checks_keep_last_n(checks: DataFrame, n: int) -> DataFrame:
@@ -36,6 +40,7 @@ def purge_checks_keep_last_n(spark: SparkSession, store: StateStore, n: int) -> 
     kept = checks_keep_last_n(store.checks.read(spark), n)
     store.checks.rewrite(kept, meta={"op": "retention", "keep_last": n})
     after = store.checks.read(spark).count()
+    logger.info("checks retention keep_last=%d: %d -> %d rows (%d deleted)", n, before, after, before - after)
     return {"before": before, "after": after}
 
 
@@ -53,4 +58,5 @@ def purge_orphan_parsed(spark: SparkSession, store: StateStore) -> dict:
     before = outputs.count()
     store.outputs.rewrite(live_outputs, meta={"op": "purge_orphans"})
     after = store.outputs.read(spark).count()
+    logger.info("orphan purge: dropped %d parsed rows", before - after)
     return {"dropped_rows": before - after}
