@@ -429,6 +429,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, queries_df, k=5, n_clusters=8, n_probe=8
         ).withColumn("cosine", F.round("cosine", 4))
 
+    def q_ivf_indexed(spark, sf):
+        # cluster-partitioned IVF index on disk; full probe ≡ brute force,
+        # partial probes partition-prune the inverted lists
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        path = tempfile.mkdtemp(prefix="hydra_ivf_") + "/index"
+        similarity.ivf_build_index(emb, path, n_clusters=8)
+        queries_df = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk_indexed(
+            spark, path, queries_df, k=5, n_probe=8
+        ).withColumn("cosine", F.round("cosine", 4))
+
     def q_embedding_near_dups(spark, sf):
         # plant exact duplicates (vec_id+100000), single-bucket coverage
         # (n_planes=0) so the LSH result provably equals the all-pairs
@@ -633,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
@@ -839,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": brute_force_topk,
         "ann_topk": brute_force_topk,
         "ivf_topk": brute_force_topk,
+        "ivf_indexed": brute_force_topk,
         "geojson_coords": """
             SELECT c_custkey,
                    CAST(((c_nationkey * 7) % 180) AS DOUBLE) AS lon,

@@ -33,6 +33,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("HYDRA_BENCH_MODE", "full")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # crawl-corpus scale can exceed the parquet sf (e.g. HYDRA_BENCH_SF=1
+    # crawls a 10M-URL corpus while operator queries stay on sf_dir)
+    sf_crawl = float(os.environ.get("HYDRA_BENCH_SF", sf))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hydra_spark.session import get_spark
@@ -41,6 +44,10 @@ def main() -> None:
         # bench corpora are ~GBs: target ~2-4 tasks/core instead of the
         # 64 MB default (which AQE-coalesces small shuffles to <cores tasks)
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        # throughput collector + roomy heap for the cached corpus (the
+        # scaling harness sizes heap per core for the same reason)
+        "spark.driver.memory": os.environ.get("HYDRA_SPARK_DRIVER_MEM", "32g"),
+        "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC",
     }
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
@@ -60,11 +67,14 @@ def main() -> None:
     # ---- crawl throughput (the north metric) ---------------------------
     from pyspark.sql import functions as F
 
-    n_urls = max(int(10_000_000 * sf), 20_000)
+    n_urls = max(int(10_000_000 * sf_crawl), 20_000)
     rounds = 2
-    # big batches amortize per-round fixed costs (BENCH/BASELINE.md);
-    # round 2 claims whatever remains eligible
-    batch = n_urls // 2
+    # round-1 protocol kept verbatim for cross-round comparability:
+    # 2 big-batch rounds over a fresh store, no warm-up (the python
+    # worker-pool startup is amortized inside round 1's 500k batch);
+    # scripts/bench_scaling.py is the warm-up + best-of-k variant
+    warm = 0
+    batch = n_urls // rounds
     # enough hosts that every frontier bucket has claimable rows
     # (bucket-quota claims under-fill when hosts ≪ buckets)
     pages = generate_pages(spark, n_urls, n_hosts=max(int(n_urls / 500), 200))
@@ -75,6 +85,8 @@ def main() -> None:
     frontier = generate_frontier(spark, pages)
     store = StateStore(tempfile.mkdtemp(prefix="hydra_bench_"))
     init_state(store, frontier)
+    if warm:
+        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=warm, backoff_nb_req=10**9), rounds=1)
     cfg = DEFAULT.with_(batch_size=batch, backoff_nb_req=10**9)
 
     t0 = time.time()
@@ -144,6 +156,9 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    spark.stop()
+    import shutil
+    shutil.rmtree(store.root, ignore_errors=True)
 
 
 if __name__ == "__main__":

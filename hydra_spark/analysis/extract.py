@@ -67,6 +67,25 @@ def extract_text(html: pd.Series) -> pd.Series:
     return out
 
 
+def extract_text_jvm(html_col: Column) -> Column:
+    """Whole-stage-codegen twin of `_extract_text_py` for payloads that
+    need no Python (NOT gzip, NOT xlsx): lenient utf-8 cast, then the
+    <p>…</p> body for html documents (tag-strip + whitespace-collapse
+    fallback), verbatim text otherwise. MUST stay byte-identical with
+    the python twin — the round-level invariant test compares them over
+    the full corpus. Callers route gzip/xlsx payloads to the python
+    path; everything else never leaves the JVM."""
+    s = html_col.cast("string")  # lenient: invalid bytes → U+FFFD, like decode(..,'replace')
+    has_p = s.rlike("<p>(.*)</p>")  # non-dotall, same as python re default
+    fallback = F.trim(
+        F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"\s+", " ")
+    )
+    return F.when(
+        s.startswith("<html"),
+        F.when(has_p, F.regexp_extract(s, "<p>(.*)</p>", 1)).otherwise(fallback),
+    ).otherwise(s)
+
+
 def extracted_text_sha1(html_col: Column) -> Column:
     """sha1 of the extracted text — the cheap form of the invariant for
     the checks log (full text goes to the texts output table)."""

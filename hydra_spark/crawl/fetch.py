@@ -22,13 +22,36 @@ missing page → connection error, URL without netloc → error check
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hydra_spark.config import HydraConfig
 from hydra_spark.functions.urls import url_domain
 
 RFC1123 = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+# config_default.toml SUSPICIOUS_HTML_HEAD_MAX_BYTES: a HEAD answering a
+# small text/html body is assumed to be a WAF block page
+SUSPICIOUS_HTML_HEAD_MAX_BYTES = 4096
+
+
+def has_nice_head(status: Column, headers: Column) -> Column:
+    """Is a HEAD response useful, or must the check retry with GET?
+    (crawl/helpers.py:51-65 `has_nice_head`): valid status AND at least
+    one of content-length/last-modified present AND not a suspiciously
+    small text/html answer (non-numeric content-length counts as
+    suspicious in the html branch, like the reference's int() except)."""
+    from hydra_spark.crawl.change import is_valid_status
+
+    valid = is_valid_status(status).eqNullSafe(True)  # 429's NULL is not nice
+    cl_raw = F.element_at(headers, "content-length")
+    lm_raw = F.element_at(headers, "last-modified")
+    has_hdr = headers.isNotNull() & (cl_raw.isNotNull() | lm_raw.isNotNull())
+    ct = F.lower(F.coalesce(F.element_at(headers, "content-type"), F.lit("")))
+    cl = cl_raw.try_cast("long")  # non-numeric → NULL (ANSI-safe)
+    html_small = ct.startswith("text/html") & (
+        cl.isNull() | (cl < SUSPICIOUS_HTML_HEAD_MAX_BYTES)
+    )
+    return valid & has_hdr & ~html_small
 
 
 def simulate_fetch(
@@ -125,11 +148,22 @@ def simulate_fetch(
         0.01 + F.pmod(F.xxhash64("url", F.lit(round_id)), F.lit(490)) / 1000.0
     )
 
-    # GET fallback simulation: some hosts return WAF-ish HEAD responses
-    # (helpers.py:51-74) — recorded as the method used
-    method = F.when(F.pmod(F.hash(F.col("domain")), F.lit(7)) == 0, F.lit("get")).otherwise(
-        F.lit("head")
+    # HEAD→GET fallback (S3, check_resources.py:107-115): the simulated
+    # server's HEAD answer is the real headers, except on WAF-fronted
+    # hosts (one in seven) whose HEAD returns a small text/html block
+    # page; `has_nice_head` then routes the check through GET. Under the
+    # simulated server GET returns the same content, so only the
+    # `method` column records the retry — but the decision runs the
+    # reference's actual heuristic (small-html pages also GET).
+    is_waf_host = F.pmod(F.hash(F.col("domain")), F.lit(7)) == 0
+    waf_head_headers = F.create_map(
+        F.lit("content-length"), F.lit("512"),
+        F.lit("content-type"), F.lit("text/html; charset=utf-8"),
     )
+    head_headers = F.when(ok & is_waf_host, waf_head_headers).otherwise(headers)
+    method = F.when(
+        status.isNotNull() & ~has_nice_head(status, head_headers), F.lit("get")
+    ).otherwise(F.lit("head"))
 
     # unique deterministic check id: collision-free w.h.p. and stable at
     # any parallelism (replaces the PG serial, which would need a global

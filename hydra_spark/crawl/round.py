@@ -178,6 +178,11 @@ def run_round(
     # outputs: byte-identical extracted text per document (the webtext
     # deliverable / BASELINE.json invariant) and typed parsed rows for
     # changed-or-unknown CSV resources (the parsing_table gate above).
+    # Measured trade (BENCH/BASELINE.md): splitting plain-text rows to a
+    # JVM-expression branch (analysis/extract.extract_text_jvm) needs an
+    # extra materialization barrier over `cur` that costs MORE than the
+    # Arrow transfer it saves — the fused pass overlaps python workers
+    # with the JVM fetch stages and scales 2→8 cores at ≥0.8.
     to_process = cur.where(
         F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
     ).select("url", "resource_id", "dataset_id", "html", "parsing_table")

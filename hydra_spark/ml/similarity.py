@@ -177,6 +177,91 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> "np.ndarray":
+    """Materialize the IVF inverted lists as a cluster-partitioned
+    parquet table (the docstring of ivf_topk says "on a real table,
+    partition by cluster" — this IS that table). Probing then becomes a
+    partition-pruned scan: searching n_probe of n_clusters lists reads
+    n_probe/n_clusters of the files, enforced by the planner
+    (PartitionFilters), not by a filter over a full scan. Centroids are
+    persisted beside the data (underscore-prefixed → invisible to
+    parquet readers)."""
+    cents = ivf_train_centroids(corpus, n_clusters, vec_col, seed=seed)
+    assigned = ivf_assign(corpus, cents, vec_col).select(id_col, vec_col, "cluster")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    np.save(f"{path}/_centroids.npy", cents)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN over an ivf_build_index table. The probed cluster ids are
+    computed from the (small, broadcastable) query set on the driver —
+    one numpy matmul — so the corpus scan carries a LITERAL cluster IN
+    (...) predicate that prunes partitions at plan time. Per-query
+    routing then joins on `cluster` as in ivf_topk."""
+    cents = np.load(f"{path}/_centroids.npy")
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    q_rows = queries.select(query_id_col, vec_col).collect()  # query set: small by contract
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qm @ cn.T), axis=1)[:, :n_probe]
+    probe_pairs = [
+        (r[0], int(c)) for r, clusters in zip(q_rows, order) for c in clusters
+    ]
+    probed_clusters = sorted({c for _, c in probe_pairs})
+    logger.info(
+        "ivf_topk_indexed: scanning %d/%d inverted lists (partition-pruned)",
+        len(probed_clusters), len(cents),
+    )
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("cluster").isin(probed_clusters))  # partition pruning
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_cv"), "cluster")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    probes_df = spark.createDataFrame(
+        probe_pairs,
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("cluster", T.IntegerType()),
+            ]
+        ),
+    )
+    qx = q.join(F.broadcast(probes_df), "query_id")
+    scored = (
+        qx.join(c, "cluster")
+        .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -128,3 +128,49 @@ def test_size_cap_blocks_analysis(spark, tmp_path):
     assert checks.where("parsing_table is not null").count() == 0
     too_big = checks.where("analysis_error like 'File too large%'")
     assert too_big.count() > 0
+
+
+def test_extraction_twins_agree(spark):
+    """THREE extraction implementations must stay in lockstep: the
+    python single-doc twin, the Arrow-batched pandas UDF, and the
+    whole-stage-codegen JVM expression (plain/html payloads only — gzip
+    and xlsx are routed to python by design)."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from hydra_spark.analysis.extract import extract_text, extract_text_jvm
+    from hydra_spark.analysis.ingest import _extract_text_py
+    from hydra_spark.analysis.xlsx import xlsx_bytes
+
+    plain_cases = [
+        b"<html><head></head><body><p>hello world</p></body></html>",
+        b"<html><body>no paragraph <b>here</b>  at all</body></html>",
+        b"<html><body><p>multi</p><p>para</p></body></html>",  # greedy like python re
+        b"plain text, no markup",
+        b"a,b,c\n1,2,3",
+        b"",
+        "café utf8 accents".encode(),
+    ]
+    python_only_cases = [
+        _gzip.compress(b"a,b,c\n1,2,3", mtime=0),
+        xlsx_bytes([["h1", "h2"], ["1", "x"]]),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(plain_cases + python_only_cases)],
+        "i int, html binary",
+    )
+    out = {
+        r["i"]: (r["pandas_udf"], r["jvm"])
+        for r in df.select(
+            "i",
+            extract_text(F.col("html")).alias("pandas_udf"),
+            extract_text_jvm(F.col("html")).alias("jvm"),
+        ).collect()
+    }
+    for i, b in enumerate(plain_cases):
+        expected = _extract_text_py(bytes(b))
+        assert out[i][0] == expected, (i, "pandas", out[i][0], expected)
+        assert out[i][1] == expected, (i, "jvm", out[i][1], expected)
+    for j, b in enumerate(python_only_cases, start=len(plain_cases)):
+        assert out[j][0] == _extract_text_py(bytes(b))  # pandas handles gzip/xlsx too
