@@ -454,6 +454,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.unionByName(dup), threshold=0.99, n_planes=0, max_bucket=100_000
         ).withColumn("cosine", F.round("cosine", 4))
 
+    def q_dedup_components(spark, sf):
+        # iterative min-label propagation over dedup pairs: 12 path
+        # graphs of 5 nodes each → component = min id of the path (the
+        # 4-hop chains prove multi-round transitive propagation)
+        edges = (
+            spark.range(60)
+            .where("id % 5 != 4")
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        return dedup.connected_components(edges).select(
+            "id", F.col("comp").alias("component")
+        )
+
     def q_bloom_seen(spark, sf):
         # oracle-able invariant: a Bloom filter has NO false negatives —
         # every inserted url must probe true
@@ -648,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
+        "dedup_components": q_dedup_components,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
@@ -958,6 +972,9 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.99
+        """,
+        "dedup_components": """
+            SELECT i AS id, (i // 5) * 5 AS component FROM range(60) t(i)
         """,
         "bloom_seen": f"""
             SELECT url, true AS seen

@@ -199,10 +199,75 @@ def minhash_dedup(
 ) -> DataFrame:
     """Drop near-duplicates: every doc that matches a lower-id doc above
     the Jaccard threshold is removed (connected components approximated
-    by min-id anchoring — standard single-pass web-dedup)."""
+    by min-id anchoring — standard single-pass web-dedup; use
+    `minhash_dedup_cc` for exact transitive clusters)."""
     pairs = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
     dups = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
     losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, check_every: int = 3
+) -> DataFrame:
+    """(id, component) for every node in `pairs(id_a, id_b)`, where
+    component = the minimum id reachable — exact transitive dedup
+    clusters (A~B, B~C ⇒ {A,B,C} even when A~C was never a candidate).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds (duplicate clusters are near-cliques, so
+    typically 2-3). Per round: ONE join edges⋈labels + ONE min-agg —
+    both map-side combinable; lineage is cut with localCheckpoint every
+    round so plans stay flat at web scale. Convergence is detected by a
+    changed-labels count every `check_every` rounds (an extra tiny job,
+    amortized). Raises after `max_iter` rounds — a pathological path
+    graph, not a dedup workload."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("dst"), "comp"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+        ).localCheckpoint()
+        if it % check_every == check_every - 1 or it == max_iter - 1:
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+                .where(F.col("comp") != F.col("old"))
+                .count()
+            )
+            if changed == 0:
+                edges.unpersist()
+                return new_labels
+        labels = new_labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Exact-cluster dedup: keep one doc (the min id) per CONNECTED
+    component of verified near-dup pairs. Catches transitive chains the
+    single-pass anchoring misses."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
+    dups = jaccard_verify(df, pairs, text_col, id_col, threshold=threshold)
+    comps = connected_components(dups.select("id_a", "id_b"))
+    losers = comps.where(F.col("id") != F.col("comp")).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

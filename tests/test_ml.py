@@ -265,3 +265,38 @@ def test_ivf_indexed_matches_brute_force_and_prunes(spark, emb, tmp_path):
     got = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
     truth = {(r[0], r[1]) for r in bf}
     assert len(got & truth) >= 5  # decent recall, exact set asserted above at full probe
+
+
+def test_connected_components_paths_and_hub(spark):
+    # two path graphs + an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_dedup_cc_catches_hub_clusters(spark):
+    """Hub cluster where the hub has the HIGHEST id: B(1)~A(3) and
+    C(2)~A(3) but B!~C. Single-pass anchoring only removes id_b of each
+    pair (doc 3) and wrongly keeps both 1 and 2; connected components
+    keep exactly the cluster minimum."""
+    base = [f"tok{i}" for i in range(80)]
+    hub = " ".join(base)                                             # id 3
+    b = " ".join(["CHANGED1" if t == "tok20" else t for t in base])  # ~hub: J=75/81≈0.926
+    c = " ".join(["CHANGED2" if t == "tok60" else t for t in base])  # ~hub: J≈0.926
+    # b vs c differ in 2 interior tokens → J=72/84≈0.857 < 0.9
+    df = spark.createDataFrame([(1, b), (2, c), (3, hub)], "doc_id long, text string")
+
+    from hydra_spark.ml.dedup import jaccard_verify, minhash_lsh_candidates
+
+    pairs = jaccard_verify(
+        df, minhash_lsh_candidates(df, k=16, bands=8), threshold=0.9
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 3), (2, 3)}
+
+    anchored = dedup.minhash_dedup(df, threshold=0.9, k=16, bands=8)
+    assert {r["doc_id"] for r in anchored.collect()} == {1, 2}  # over-keeps 2
+
+    exact = dedup.minhash_dedup_cc(df, threshold=0.9, k=16, bands=8)
+    assert {r["doc_id"] for r in exact.collect()} == {1}  # true cluster min
