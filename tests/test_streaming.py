@@ -52,3 +52,71 @@ def test_monitor_is_incremental(spark, tmp_path):
     run_crawl(spark, store, pages, DEFAULT.with_(batch_size=150), rounds=6)
     politeness_monitor(spark, store, out, DEFAULT, watermark="0 seconds")
     assert spark.read.parquet(out).count() > n1
+
+
+def test_cooloff_tracker_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a domain that served a 429 is in
+    cool-off for COOL_OFF_PERIOD; checks fetched during it count as
+    violations, and the state survives across drains (checkpoint)."""
+    from hydra_spark.streaming import cooloff_monitor
+
+    pages = generate_pages(spark, 2500, n_hosts=5).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path / "state"))
+    init_state(store, frontier)
+    # huge politeness budget so 429 domains keep being crawled (the
+    # tracker is the observer, not the enforcer here)
+    cfg = DEFAULT.with_(batch_size=400, backoff_nb_req=10**9, cool_off_period=86400)
+    run_crawl(spark, store, pages, cfg, rounds=3)
+
+    out = str(tmp_path / "cooloff")
+    cooloff_monitor(spark, store, out, cfg)
+    rows = spark.read.parquet(out).collect()
+    assert rows
+
+    # ground truth from the batch log: domains that served a 429
+    checks = store.checks.read(spark)
+    dom_429 = {r["domain"] for r in checks.where("status = 429").collect()}
+    assert dom_429, "corpus should contain 429 pages"
+    latest = {}
+    for r in rows:
+        latest[r["domain"]] = r  # later parquet rows have larger n_checks
+        if r["domain"] in dom_429:
+            pass
+    got_cooloff = {d for d, r in latest.items() if r["cooloff_until"] is not None}
+    assert dom_429 <= got_cooloff
+
+    # every check on a 429 domain AFTER its first 429 is a violation
+    import collections
+    first_429 = {}
+    per_domain = collections.defaultdict(list)
+    for r in checks.where("domain is not null").collect():
+        per_domain[r["domain"]].append(r)
+    expected_viol = {}
+    for d, rs in per_domain.items():
+        by_ts = collections.defaultdict(list)
+        for r in rs:
+            by_ts[r["created_at"].timestamp()].append(r)
+        until, viol = None, 0
+        for t in sorted(by_ts):
+            grp = by_ts[t]
+            if until is not None and t < until:
+                viol += len(grp)
+            if any(r["status"] == 429 for r in grp):
+                until = t + 86400
+        expected_viol[d] = viol
+    # compare the tracker's final totals (max n_checks row per domain)
+    finals = {}
+    for r in rows:
+        if r["domain"] not in finals or r["n_checks"] > finals[r["domain"]]["n_checks"]:
+            finals[r["domain"]] = r
+    for d, r in finals.items():
+        assert r["n_violations"] == expected_viol[d], d
+
+    # state survives the checkpoint: more rounds, second drain continues
+    run_crawl(spark, store, pages, cfg, rounds=2)
+    cooloff_monitor(spark, store, out, cfg)
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) > len(rows)
+    total_checks = checks.where("domain is not null").count()  # pre-extra rounds
+    assert max(r["n_checks"] for r in rows2) >= max(r["n_checks"] for r in rows)
