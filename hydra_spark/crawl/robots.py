@@ -24,6 +24,81 @@ from pyspark.sql import functions as F
 ROBOTS_ERROR = "blocked by robots.txt"
 
 
+def parse_robots_txt(body: str, agent: str = "hydra") -> list[str]:
+    """Disallow prefixes that apply to `agent` from a robots.txt body.
+
+    Standard subset (RFC 9309 semantics, like the reference's aiohttp
+    stack would see): user-agent groups (consecutive User-agent lines
+    share one group), most-specific group wins (an exact agent match
+    beats `*` — and then `*` groups are ignored entirely), `Disallow:`
+    with an empty value allows everything, comments (#) and unknown
+    directives (Crawl-delay, Sitemap, Allow) are skipped — Allow-based
+    carve-outs are rare on data portals and a prefix-only model stays
+    vectorizable (split_robots matches prefixes JVM-side)."""
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    cur_agents: list[str] = []
+    cur_rules: list[str] | None = None
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if cur_rules is not None:  # a directive closed the previous group
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], None
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            if cur_rules is None:
+                cur_rules = []
+            if cur_agents and val:
+                cur_rules.append(val)
+        # other directives (allow, crawl-delay, sitemap) close the
+        # agent-line run but are not modeled
+        elif cur_agents and cur_rules is None:
+            cur_rules = []
+    if cur_agents:
+        groups.append((cur_agents, cur_rules or []))
+
+    exact = [d for agents, rules in groups if agent.lower() in agents for d in rules]
+    if any(agent.lower() in agents for agents, _ in groups):
+        return exact
+    return [d for agents, rules in groups if "*" in agents for d in rules]
+
+
+def rules_from_robots_pages(
+    robots_pages: DataFrame, agent: str = "hydra"
+) -> DataFrame:
+    """(domain, body) robots.txt fetches → the `robots_rules(domain,
+    disallow_prefix)` table split_robots consumes. The parse is an
+    Arrow-batched mapInPandas (python, but over one tiny row per HOST —
+    not per URL, so it never touches the frontier's scale axis)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("disallow_prefix", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for domain, body in pdf[["domain", "body"]].itertuples(index=False):
+                if body is None:
+                    continue
+                text = bytes(body).decode("utf-8", "replace") if isinstance(body, (bytes, bytearray)) else body
+                for prefix in parse_robots_txt(text, agent):
+                    rows.append((domain, prefix))
+            yield pd.DataFrame(rows, columns=["domain", "disallow_prefix"])
+
+    return robots_pages.mapInPandas(gen, schema=schema)
+
+
 def synthetic_robots_rules(pages_or_frontier: DataFrame) -> DataFrame:
     """Deterministic per-host rules for the synthetic corpus: every
     fifth host (by murmur3 of its domain) disallows `/private/`."""
@@ -42,22 +117,21 @@ def split_robots(batch: DataFrame, rules: DataFrame | None):
     disallowed prefix for their domain are blocked. `batch` must carry
     a `domain` column (select_batch provides it).
 
-    Rules are aggregated to ONE row per domain (collect_list of
-    prefixes) before the join: a row-per-rule left join would (a) leak
-    a URL blocked by one prefix into `allowed` via the other rule rows
-    and (b) duplicate every allowed URL once per rule — real robots.txt
-    files have many Disallow lines."""
+    `blocked` is a LEFT-SEMI join of the batch against the (broadcast)
+    rule rows on domain + prefix-match, `allowed` the matching
+    LEFT-ANTI: a row-per-rule left join would (a) leak a URL blocked by
+    one prefix into `allowed` via the other rule rows and (b) duplicate
+    every allowed URL once per rule — real robots.txt files have many
+    Disallow lines. Semi/anti produce each batch row at most once by
+    construction, and the prefix test is a plain join predicate (no
+    higher-order functions — this Spark build mis-binds outer row
+    references inside exists()/filter() lambdas pushed around a
+    broadcast join)."""
     if rules is None:
         return batch, None
-    per_domain = rules.groupBy("domain").agg(
-        F.collect_list("disallow_prefix").alias("_disallow")
-    )
-    r = F.broadcast(per_domain.withColumnRenamed("domain", "_rdom"))
-    joined = batch.join(r, batch.domain == r._rdom, "left")
     path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+", "")
-    hit = F.col("_disallow").isNotNull() & F.exists(
-        "_disallow", lambda p: path.startswith(p)
-    )
-    allowed = joined.where(~hit).drop("_rdom", "_disallow")
-    blocked = joined.where(hit).drop("_rdom", "_disallow")
+    r = F.broadcast(rules.withColumnRenamed("domain", "_rdom"))
+    cond = (F.col("domain") == F.col("_rdom")) & path.startswith(F.col("disallow_prefix"))
+    blocked = batch.join(r, cond, "left_semi")
+    allowed = batch.join(r, cond, "left_anti")
     return allowed, blocked

@@ -153,6 +153,29 @@ def generate_pages(
     )
 
 
+def generate_robots_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """(domain, body): one robots.txt fetch per host of the corpus.
+    Every fifth host (same murmur3 rule as synthetic_robots_rules)
+    disallows /private/ for all agents; the rest allow everything. The
+    bodies carry comment/crawl-delay/sitemap noise so the parser subset
+    is exercised, not just the happy path."""
+    from hydra_spark.functions.urls import url_domain
+
+    domains = pages.select(url_domain("url").alias("domain")).where(
+        F.col("domain").isNotNull()
+    ).distinct()
+    blocked = F.pmod(F.hash("domain"), F.lit(5)) == 0
+    body = F.when(
+        blocked,
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: *\nCrawl-delay: 1\nDisallow: /private/\n\nSitemap: https://"),
+            F.col("domain"),
+            F.lit("/sitemap.xml\n"),
+        ),
+    ).otherwise(F.lit("# open host\nUser-agent: *\nDisallow:\n"))
+    return domains.select("domain", body.alias("body"))
+
+
 def generate_frontier(
     spark: SparkSession,
     pages: DataFrame,

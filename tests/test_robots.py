@@ -70,3 +70,50 @@ def test_split_robots_multiple_prefixes_per_domain(spark):
     assert {r["resource_id"] for r in blocked.collect()} == {"r1", "r2"}
     assert {r["resource_id"] for r in allowed_rows} == {"r3", "r4"}
     assert len(allowed_rows) == 2  # no per-rule duplication
+
+
+def test_parse_robots_txt_truth_table():
+    from hydra_spark.crawl.robots import parse_robots_txt
+
+    body = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /private/\n"
+        "Disallow: /tmp/\n"
+        "Disallow:\n"          # empty value = allow, ignored
+        "\n"
+        "User-agent: googlebot\n"
+        "Disallow: /gb-only/\n"
+    )
+    assert parse_robots_txt(body, "hydra") == ["/private/", "/tmp/"]
+    assert parse_robots_txt(body, "googlebot") == ["/gb-only/"]  # exact beats *
+
+    # consecutive User-agent lines share one group
+    shared = "User-agent: a\nUser-agent: *\nDisallow: /x/\n"
+    assert parse_robots_txt(shared, "hydra") == ["/x/"]
+    assert parse_robots_txt(shared, "a") == ["/x/"]
+
+    # a specific-agent group with no disallows means ALLOW ALL for it
+    carve = "User-agent: hydra\nDisallow:\n\nUser-agent: *\nDisallow: /y/\n"
+    assert parse_robots_txt(carve, "hydra") == []
+    assert parse_robots_txt(carve, "other") == ["/y/"]
+
+    assert parse_robots_txt("", "hydra") == []
+    assert parse_robots_txt("Disallow: /orphan/\n", "hydra") == []  # no UA group
+
+
+def test_rules_from_robots_pages_match_synthetic(spark):
+    """Parsing the synthetic robots.txt corpus reproduces the rule
+    table the crawl tests run against — robots gating is data-driven
+    end to end."""
+    from hydra_spark.datagen import generate_robots_pages
+
+    pages = generate_pages(spark, 1000, n_hosts=12).cache()
+    from hydra_spark.crawl.robots import rules_from_robots_pages
+
+    parsed = rules_from_robots_pages(generate_robots_pages(spark, pages))
+    synthetic = synthetic_robots_rules(pages)
+    a = {(r["domain"], r["disallow_prefix"]) for r in parsed.collect()}
+    b = {(r["domain"], r["disallow_prefix"]) for r in synthetic.collect()}
+    assert a == b and a
