@@ -454,6 +454,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base.unionByName(dup), threshold=0.99, n_planes=0, max_bucket=100_000
         ).withColumn("cosine", F.round("cosine", 4))
 
+    def q_corpus_curation(spark, sf):
+        # the composed training-data pipeline funnel: quality gate →
+        # language gate → exact dedup, accounted in ONE aggregation
+        from hydra_spark.ml.pipeline import curation_stats
+
+        docs = _t(spark, sf, "documents")
+        return curation_stats(docs, min_quality=0.3, languages=("en", "fr"))
+
     def q_dedup_components(spark, sf):
         # iterative min-label propagation over dedup pairs: 12 path
         # graphs of 5 nodes each → component = min id of the path (the
@@ -662,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
+        "corpus_curation": q_corpus_curation,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
@@ -975,6 +984,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_components": """
             SELECT i AS id, (i // 5) * 5 AS component FROM range(60) t(i)
+        """,
+        "corpus_curation": f"""
+            WITH scored AS (
+              SELECT doc_id, text,
+                CAST(round(
+                  least(n_tokens / 100.0, 1.0) * 0.4
+                  + least(round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) * 4, 1.0) * 0.3
+                  + (1 - least(round(n_digit / safe, 6) * 5, 1.0)) * 0.15
+                  + (1 - least(round(n_punct / safe, 6) * 5, 1.0)) * 0.15, 6) AS DOUBLE) AS quality_score,
+                CASE WHEN en_hits + fr_hits = 0 THEN 'unknown'
+                     WHEN en_hits > fr_hits THEN 'en'
+                     WHEN fr_hits > en_hits THEN 'fr'
+                     ELSE 'unknown' END AS lang
+              FROM (
+                SELECT doc_id, text,
+                  CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                  CAST(greatest(length(text), 1) AS DOUBLE) AS safe,
+                  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                  len(regexp_extract_all(text, '{_STOP_EN}')) + len(regexp_extract_all(text, '{_STOP_FR}')) AS n_stop,
+                  len(regexp_extract_all(text, '{_STOP_EN}')) AS en_hits,
+                  len(regexp_extract_all(text, '{_STOP_FR}')) AS fr_hits
+                FROM documents)
+            ), gates AS (
+              SELECT *, quality_score < 0.3 AS low_q,
+                     lang NOT IN ('en', 'fr') AS bad_lang
+              FROM scored
+            ), kept AS (
+              SELECT count(*) AS kept_docs,
+                     CAST(sum(n - 1) AS BIGINT) AS dropped_exact_dups
+              FROM (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                           count(*) AS n
+                    FROM gates WHERE NOT low_q AND NOT bad_lang GROUP BY 1)
+            )
+            SELECT count(*) AS total_docs,
+                   CAST(sum(CASE WHEN low_q THEN 1 ELSE 0 END) AS BIGINT) AS dropped_low_quality,
+                   CAST(sum(CASE WHEN NOT low_q AND bad_lang THEN 1 ELSE 0 END) AS BIGINT) AS dropped_language,
+                   (SELECT kept_docs FROM kept) AS kept_docs,
+                   (SELECT dropped_exact_dups FROM kept) AS dropped_exact_dups
+            FROM gates
         """,
         "bloom_seen": f"""
             SELECT url, true AS seen

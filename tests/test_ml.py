@@ -300,3 +300,40 @@ def test_minhash_dedup_cc_catches_hub_clusters(spark):
 
     exact = dedup.minhash_dedup_cc(df, threshold=0.9, k=16, bands=8)
     assert {r["doc_id"] for r in exact.collect()} == {1}  # true cluster min
+
+
+def test_corpus_curation_pipeline(spark):
+    from hydra_spark.ml.pipeline import curate, curation_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm today with the sun and the wind for it"),
+            (2, "the cat is in the house and it is warm today with the sun and the wind for it"),  # exact dup
+            (3, "le chat est dans la maison et il est content avec le soleil et le vent dans un jardin"),
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),      # digit soup → low quality
+            (5, "zzz qqq xxx www yyy vvv uuu ttt sss rrr"),      # no stopwords → unknown lang
+        ],
+        "doc_id long, text string",
+    )
+    curated = curate(docs, min_quality=0.25, languages=("en", "fr"))
+    assert sorted(r["doc_id"] for r in curated.collect()) == [1, 3]
+
+    stats = curation_stats(docs, min_quality=0.25, languages=("en", "fr")).first()
+    assert stats["total_docs"] == 5
+    assert stats["dropped_low_quality"] >= 1      # the digit soup
+    assert stats["dropped_language"] >= 1         # the unknown-lang doc
+    assert stats["dropped_exact_dups"] == 1
+    assert stats["kept_docs"] == 2
+    # funnel accounts for every document (no silent drops)
+    assert (
+        stats["kept_docs"] + stats["dropped_exact_dups"]
+        + stats["dropped_low_quality"] + stats["dropped_language"]
+    ) == stats["total_docs"]
+
+    # near-dedup stage composes: add a near-duplicate of doc 1
+    near = docs.union(spark.createDataFrame(
+        [(6, "the cat is in the house and it is warm today with the sun and the wind for us")],
+        "doc_id long, text string",
+    ))
+    curated2 = curate(near, min_quality=0.25, near_dedup=True, near_dedup_threshold=0.5)
+    assert sorted(r["doc_id"] for r in curated2.collect()) == [1, 3]
