@@ -18,6 +18,7 @@ is checked via its no-false-negatives invariant.
 
 from __future__ import annotations
 
+import json
 import tempfile
 from collections.abc import Callable
 
@@ -520,6 +521,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.select("asset_id", "media_type", "n_bytes", enc.alias("features_enc"))
 
+    def q_catalog_upsert(spark, sf):  # S1/SO2 through the real code path
+        import csv as _csv
+        import os
+
+        from hydra_spark.catalog import as_frontier_rows, read_catalog_csv, upsert_catalog
+        from hydra_spark.storage import StateStore
+
+        tmp = tempfile.mkdtemp(prefix="hydra_catalog_")
+
+        def write_catalog(name, lo, hi, title_suffix):
+            p = os.path.join(tmp, name)
+            with open(p, "w", newline="") as f:
+                w = _csv.writer(f, delimiter=";")
+                w.writerow(["dataset.id", "id", "url", "type", "format",
+                            "harvest.modified_at", "title", "dataset.archived"])
+                for i in range(lo, hi):
+                    w.writerow([
+                        f"ds{i % 7}", f"rid-{i:05d}",
+                        f"https://cat{i % 9}.example.com/res/{i}", "main", "csv",
+                        "2025-01-01 00:00:00",
+                        f"res {i}{title_suffix}",
+                        "True" if i % 10 == 0 else "False",  # archived → skipped
+                    ])
+            return p
+
+        v1 = read_catalog_csv(spark, write_catalog("v1.csv", 0, 150, ""))
+        v2 = read_catalog_csv(spark, write_catalog("v2.csv", 50, 200, " v2"))
+        store = StateStore(os.path.join(tmp, "state"))
+        store.frontier.commit(as_frontier_rows(v1), round_id=0)
+        upsert_catalog(spark, store, v2)
+        return store.frontier.read(spark).select(
+            "resource_id", "url", "deleted", "title"
+        )
+
+    def q_parquet_export_roundtrip(spark, sf):  # S9/S10/S11 + C8 typed chain
+        from hydra_spark.analysis.ingest import analyse_csv_batch, load_parsed_table
+        from hydra_spark.exports.parquet import export_parquet
+
+        body = "code,ratio,label\n" + "\n".join(
+            f"{i * 3},{i % 7}.5,item_{i % 11}" for i in range(300)
+        )
+        df = spark.createDataFrame(
+            [("https://files.example.com/t.csv", "r0", "d0", bytearray(body.encode()), "tbl0")],
+            "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+        )
+        rows = analyse_csv_batch(df)
+        insp = json.loads(rows.where("inspection is not null").first()["inspection"])
+        typed = load_parsed_table(spark, rows, insp, "tbl0")
+        out = tempfile.mkdtemp(prefix="hydra_pq_") + "/tbl0"
+        meta = export_parquet(typed, out, force=True)
+        assert meta is not None and meta["rows"] == 300
+        back = spark.read.parquet(meta["parquet_url"])
+        return back.groupBy("label").agg(
+            F.count("*").alias("n"),
+            F.sum("code").alias("sum_code"),
+            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+        )
+
     def q_xlsx_parse(spark, sf):  # S7: stdlib xlsx decode → typed ingest
         from hydra_spark.analysis.excel import analyse_excel_batch
         from hydra_spark.analysis.xlsx import xlsx_bytes
@@ -656,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "geojson_coords": q_geojson_coords,
         "cors_classification": q_cors_classification,
+        "catalog_upsert": q_catalog_upsert,
+        "parquet_export_roundtrip": q_parquet_export_roundtrip,
         "xlsx_parse": q_xlsx_parse,
         "csv_inspect": q_csv_inspect,
         "ogc_metadata": q_ogc_metadata,
@@ -891,6 +952,20 @@ def oracle_sql() -> dict[str, str]:
                               THEN 'clicker' ELSE 'lurker' END AS cls
                   FROM events GROUP BY user_id)
             GROUP BY cls
+        """,
+        "catalog_upsert": """
+            SELECT 'rid-' || lpad(CAST(i AS VARCHAR), 5, '0') AS resource_id,
+                   'https://cat' || CAST(i % 9 AS VARCHAR) || '.example.com/res/' || CAST(i AS VARCHAR) AS url,
+                   i < 50 AS deleted,
+                   'res ' || CAST(i AS VARCHAR) || CASE WHEN i >= 50 THEN ' v2' ELSE '' END AS title
+            FROM range(200) t(i) WHERE i % 10 <> 0
+        """,
+        "parquet_export_roundtrip": """
+            SELECT 'item_' || CAST(i % 11 AS VARCHAR) AS label,
+                   count(*) AS n,
+                   CAST(sum(i * 3) AS BIGINT) AS sum_code,
+                   CAST(round(sum(i % 7 + 0.5), 2) AS DOUBLE) AS sum_ratio
+            FROM range(300) t(i) GROUP BY 1
         """,
         "xlsx_parse": """
             SELECT 'https://files.example.com/wb' || CAST(i AS VARCHAR) || '.xlsx' AS url,

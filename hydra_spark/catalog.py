@@ -31,15 +31,18 @@ def read_catalog_csv(spark: SparkSession, path: str) -> DataFrame:
     """data.gouv catalog export: `;`-separated with header
     (cli/catalog.py:20-98; columns per tests/data/catalog.csv)."""
     raw = spark.read.option("sep", ";").option("header", True).csv(path)
+    # the export's headers contain literal dots (dataset.id,
+    # harvest.modified_at, ...) — backticks keep them column NAMES, not
+    # struct field paths
     df = raw.select(
-        F.col("dataset.id").alias("dataset_id"),
+        F.col("`dataset.id`").alias("dataset_id"),
         F.col("id").alias("resource_id"),
         F.col("url"),
         F.col("type"),
         F.col("format"),
-        F.to_timestamp("harvest.modified_at").alias("harvest_modified_at"),
+        F.to_timestamp(F.col("`harvest.modified_at`")).alias("harvest_modified_at"),
         F.col("title"),
-        F.col("dataset.archived").alias("_archived"),
+        F.col("`dataset.archived`").alias("_archived"),
     )
     # archived datasets are skipped at load (cli/catalog.py:58-59)
     return df.where(F.col("_archived") == "False").drop("_archived")
