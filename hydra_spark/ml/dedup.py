@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hydra_spark.ml.text import shingles
+from hydra_spark.ml.text import shingle_hashes, shingles
 
 logger = logging.getLogger(__name__)
 
@@ -91,12 +91,15 @@ def minhash_signature(
 ) -> Column:
     """k min-hashes over word shingles — JVM-side.
 
-    Default: array<long> of seeded xxhash64 passes (fast path).
+    Default: array<long> of seeded xxhash64 passes over
+    `shingle_hashes` — shingle STRINGS are never materialized and the k
+    re-hash passes run over longs (the string n-gram allocation was the
+    dominant cost of the signature stage).
     `portable_md5=True`: array<string> of min md5-hex of "<i>|<shingle>"
     — slower (hex materialization) but reproducible in any engine with
     an md5 builtin, which is what the cross-engine oracle check needs."""
-    sh = shingles(text, ngram)
     if portable_md5:
+        sh = shingles(text, ngram)
         sigs = [
             F.array_min(
                 F.transform(
@@ -106,7 +109,8 @@ def minhash_signature(
             for i in range(k)
         ]
     else:
-        sigs = [F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))) for i in range(k)]
+        sh = shingle_hashes(text, ngram)
+        sigs = [F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(seed + i)))) for i in range(k)]
     return F.array(*sigs)
 
 

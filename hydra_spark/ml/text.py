@@ -93,12 +93,39 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """array<long> of 64-bit shingle hashes WITHOUT materializing the
+    shingle strings: each word is xxhash64'd once, then a shingle hash
+    combines its n consecutive word hashes with one more xxhash64 pass
+    over longs. Equivalent blocking power to hashing `shingles()`
+    output (equal shingles ⇒ equal hashes; 64-bit collisions
+    negligible) at a fraction of the cost — string n-gram
+    materialization is the dominant allocation in the minhash/
+    fingerprint hot path. Degenerate texts (< n words) hash the whole
+    word-hash array, mirroring the single whole-text shingle.
+
+    Implementation note: the combine runs as zip_with over n shifted
+    slices of the word-hash array — NOT element_at(wh, i) inside a
+    transform, which re-evaluates the whole word-hash expression per
+    element access (unnamed subexpressions inline, making that
+    formulation O(words²))."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    k = F.greatest(F.size(wh) - (n - 1), F.lit(0))
+    combined = F.slice(wh, 1, k)
+    for j in range(1, n):
+        combined = F.zip_with(combined, F.slice(wh, j + 1, k), lambda a, b: F.xxhash64(a, b))
+    return F.when(k <= 0, F.array(F.xxhash64(wh))).otherwise(combined)
+
+
 def fingerprint(text: Column | str, n: int = 3, seed: int = 7) -> Column:
-    """Document fingerprint: min xxhash64 over word shingles (the
-    min-wise rolling-hash fingerprint; equal texts → equal prints,
-    near-equal texts → equal with prob ≈ jaccard)."""
-    sh = shingles(text, n)
-    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+    """Document fingerprint: min-wise hash over word shingles (equal
+    texts → equal prints, near-equal texts → equal with prob ≈
+    jaccard). Runs over `shingle_hashes` — no shingle strings are ever
+    materialized; the seed pass re-hashes longs."""
+    sh = shingle_hashes(text, n)
+    return F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(seed))))
 
 
 def fingerprint_md5(text: Column | str, n: int = 3) -> Column:
