@@ -191,3 +191,24 @@ def test_preamble_validation_roundtrip(spark):
     assert again is not None and again["total_lines"] == 1
     # header moved -> invalid, full re-detection required
     assert validate_inspection(b"code,label\n3,c", prev) is None
+
+
+def test_latin1_encoding_fallback(spark):
+    """Non-UTF-8 bytes fall back to latin-1 and the inspection records
+    the encoding (reference: csv-detective encoding detection)."""
+    body = "ville,note\nSète,1\nNîmes,2".encode("latin-1")
+    recs, insp = _typed(spark, body)
+    assert insp["encoding"] == "latin-1"
+    assert [r["ville"] for r in recs] == ["Sète", "Nîmes"]
+    assert recs[0]["note"] == 1
+
+
+def test_quoted_cells_with_separator_and_newline(spark):
+    """Quote-aware parsing: separators and newlines inside quoted cells
+    must not split columns/rows (stdlib csv semantics, utils/reader.py)."""
+    body = b'name,desc,n\n"a, inc","line1\nline2",1\nplain,simple,2'
+    recs, insp = _typed(spark, body)
+    assert insp["total_lines"] == 2
+    assert recs[0]["name"] == "a, inc"
+    assert recs[0]["desc"] == "line1\nline2"
+    assert recs[1]["n"] == 2

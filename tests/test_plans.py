@@ -90,3 +90,27 @@ def test_whole_stage_codegen_covers_fetch_exprs(spark):
     plan = _plan(fetched)
     assert "isFinalPlan=true" in plan
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_curation_is_single_shuffle(spark):
+    """The curation pipeline's gates are stateless predicates; only the
+    dedup window shuffles — exactly ONE exchange in the whole plan."""
+    from hydra_spark.ml.pipeline import curate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(curate(docs))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    """LSH banding must compile to a hash-partitioned equi-join on the
+    bucket keys — never a cartesian/nested-loop pair enumeration."""
+    from hydra_spark.ml.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs, k=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any equi-join flavor is fine (AQE broadcasts the capped band side
+    # at small sf; sort-merge/shuffled-hash at scale)
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
