@@ -73,7 +73,6 @@ def main() -> None:
     # 2 big-batch rounds over a fresh store, no warm-up (the python
     # worker-pool startup is amortized inside round 1's 500k batch);
     # scripts/bench_scaling.py is the warm-up + best-of-k variant
-    warm = 0
     batch = n_urls // rounds
     # enough hosts that every frontier bucket has claimable rows
     # (bucket-quota claims under-fill when hosts ≪ buckets)
@@ -85,8 +84,6 @@ def main() -> None:
     frontier = generate_frontier(spark, pages)
     store = StateStore(tempfile.mkdtemp(prefix="hydra_bench_"))
     init_state(store, frontier)
-    if warm:
-        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=warm, backoff_nb_req=10**9), rounds=1)
     cfg = DEFAULT.with_(batch_size=batch, backoff_nb_req=10**9)
 
     t0 = time.time()

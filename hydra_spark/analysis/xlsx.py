@@ -36,16 +36,17 @@ def _cell_text(elem) -> str:
 
 def _num_str(v: str) -> str:
     """Render a numeric cell the way `str(openpyxl_value)` would:
-    integral → no decimal point, else the float repr."""
+    an integer literal stays an int ('3' → '3'), anything with a
+    decimal point / exponent is a float ('3.0' → '3.0', '2.5e1' →
+    '25.0') — openpyxl types cells the same way, so the stdlib and
+    openpyxl paths extract identical strings."""
     try:
         f = float(v)
     except ValueError:
         return v
-    if f.is_integer() and "e" not in v.lower() and "." not in v:
-        return v  # already an integer literal
-    if f.is_integer():
-        return str(int(f))
-    return repr(f)
+    if "e" not in v.lower() and "." not in v:
+        return v  # integer literal, openpyxl yields int
+    return repr(f)  # float literal, openpyxl yields float (str(3.0)='3.0')
 
 
 def xlsx_rows(data: bytes) -> list[list[str]]:

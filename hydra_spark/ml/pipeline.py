@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hydra_spark.ml.dedup import exact_duplicates, minhash_dedup_cc
+from hydra_spark.ml.dedup import exact_duplicates, minhash_dedup_cc, normalized
 from hydra_spark.ml.text import language_id, quality_features
 
 
@@ -70,9 +70,9 @@ def curation_stats(
     )
     low_q = F.col("quality_score") < min_quality
     bad_lang = ~F.col("lang_detected").isin(*languages)
-    w_hash = F.md5(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    )
+    # the SAME hash exact_duplicates dedups on — a drifting copy would
+    # silently desynchronize the funnel from what curate() keeps
+    w_hash = F.md5(normalized(text_col))
     gated = scored.where(~low_q & ~bad_lang)
     kept = (
         gated.groupBy(w_hash.alias("_h"))

@@ -218,6 +218,18 @@ def ivf_topk_indexed(
     cents = np.load(f"{path}/_centroids.npy")
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     q_rows = queries.select(query_id_col, vec_col).collect()  # query set: small by contract
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[query_id_col].dataType),
+                    T.StructField("neighbor_id", queries.schema[query_id_col].dataType),
+                    T.StructField("cosine", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(qm @ cn.T), axis=1)[:, :n_probe]

@@ -143,7 +143,10 @@ class AppendLog:
 
     def append(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
         m = self.manifest()
-        bid = len(m["batches"]) + 1
+        # max(id)+1, NOT len+1: after a rewrite() compaction the manifest
+        # holds one batch with a high id — len-based numbering would
+        # reuse old ids and eventually overwrite the compacted dir
+        bid = max((b["id"] for b in m["batches"]), default=0) + 1
         bdir = os.path.join(self.dir, f"batch-{bid:06d}")
         df.write.mode("overwrite").parquet(bdir)
         m["batches"].append(

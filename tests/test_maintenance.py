@@ -181,3 +181,23 @@ def test_resume_prunes_uncommitted_round(spark, tmp_path):
         b["round"] for b in store.checks.manifest()["batches"]
     }
     assert per_round == {1, 2}
+
+
+def test_appends_after_rewrite_do_not_collide(spark, tmp_path):
+    """Batch ids are max+1, not len+1: appends following a rewrite()
+    compaction must never reuse an old id and overwrite the compacted
+    dir (reproduced data-loss: three post-purge appends destroyed the
+    retention batch and duplicated the newest one)."""
+    from hydra_spark.storage import AppendLog
+
+    log = AppendLog(str(tmp_path), "t")
+    for i in range(3):
+        log.append(spark.createDataFrame([(f"old{i}",)], "v string"), round_id=i + 1)
+    kept = spark.createDataFrame([("kept-a",), ("kept-b",)], "v string")
+    log.rewrite(kept, meta={"op": "retention"})
+    for i in range(3):
+        log.append(spark.createDataFrame([(f"new{i}",)], "v string"), round_id=10 + i)
+    rows = sorted(r["v"] for r in log.read(spark).collect())
+    assert rows == ["kept-a", "kept-b", "new0", "new1", "new2"]
+    ids = [b["id"] for b in log.manifest()["batches"]]
+    assert ids == sorted(set(ids)), ids  # unique, increasing

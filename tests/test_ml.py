@@ -337,3 +337,13 @@ def test_corpus_curation_pipeline(spark):
     ))
     curated2 = curate(near, min_quality=0.25, near_dedup=True, near_dedup_threshold=0.5)
     assert sorted(r["doc_id"] for r in curated2.collect()) == [1, 3]
+
+
+def test_ivf_indexed_empty_queries(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    base = emb.select("vec_id", "embedding")
+    similarity.ivf_build_index(base, path, n_clusters=4)
+    empty = base.where("vec_id < 0").selectExpr("vec_id AS query_id", "embedding")
+    out = similarity.ivf_topk_indexed(spark, path, empty, k=5, n_probe=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]

@@ -22,8 +22,21 @@ def test_xlsx_codec_roundtrip():
     data = xlsx_bytes(rows)
     assert xlsx_rows(data) == rows
     assert xlsx_bytes(rows) == data  # deterministic bytes
-    # numeric cells render like str(value): integral without a point
+    # numeric cells render like str(openpyxl value): int literals stay
+    # ints, float literals stay floats ('3.0' != '3' — parity with the
+    # openpyxl path matters for type detection)
     assert xlsx_rows(xlsx_bytes([["n"], [2], [2.5]])) == [["n"], ["2"], ["2.5"]]
+    import io, zipfile
+    raw = xlsx_bytes([["n"], [1]])
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    files = {f: zf.read(f).decode() for f in zf.namelist()}
+    files["xl/worksheets/sheet1.xml"] = files["xl/worksheets/sheet1.xml"].replace(
+        "<v>1</v>", "<v>3.0</v>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for f, content in files.items():
+            out.writestr(f, content)
+    assert xlsx_rows(buf.getvalue()) == [["n"], ["3.0"]]
 
 
 def test_xlsx_shared_strings():
