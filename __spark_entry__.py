@@ -463,6 +463,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf, "documents")
         return curation_stats(docs, min_quality=0.3, languages=("en", "fr"))
 
+    def q_jaccard_verify(spark, sf):
+        # exact n-gram Jaccard on candidate pairs (the minhash verify
+        # stage): consecutive-doc pairs over the corpus
+        docs = _t(spark, sf, "documents")
+        pairs = (
+            docs.where("doc_id % 2 = 0")
+            .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        )
+        return dedup.jaccard_verify(docs, pairs, threshold=0.0).withColumn(
+            "jaccard", F.round("jaccard", 6)
+        )
+
     def q_dedup_components(spark, sf):
         # iterative min-label propagation over dedup pairs: 12 path
         # graphs of 5 nodes each → component = min id of the path (the
@@ -732,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
         "corpus_curation": q_corpus_curation,
+        "jaccard_verify": q_jaccard_verify,
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
@@ -1100,6 +1113,19 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT kept_docs FROM kept) AS kept_docs,
                    (SELECT dropped_exact_dups FROM kept) AS dropped_exact_dups
             FROM gates
+        """,
+        "jaccard_verify": f"""
+            WITH sh AS (
+              SELECT doc_id, list_distinct(shingles) AS toks FROM ({shingle_cte})
+            )
+            SELECT id_a, id_b,
+                   CAST(round(CASE WHEN u > 0 THEN inter / CAST(u AS DOUBLE) ELSE 0.0 END, 6) AS DOUBLE) AS jaccard
+            FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(list_distinct(list_concat(a.toks, b.toks))) AS u
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 2 = 0)
         """,
         "bloom_seen": f"""
             SELECT url, true AS seen
