@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the pure kernels the engine
+leans on — codec roundtrips, parser robustness, cast totality — plus
+batched Spark properties (idempotence) evaluated over one generated
+DataFrame per test rather than one Spark job per example."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hydra_spark.analysis.casting import detect_column_type, smart_cast_cell
+from hydra_spark.analysis.xlsx import xlsx_bytes, xlsx_rows
+from hydra_spark.crawl.robots import parse_robots_txt
+
+# printable cell text without the XML-hostile control range
+cell_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=40
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(cell_text, st.integers(-10**9, 10**9)),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_xlsx_codec_roundtrip_property(rows):
+    """xlsx_bytes ∘ xlsx_rows is the identity on stringified cells for
+    ANY printable content (escaping, commas, unicode, negatives)."""
+    got = xlsx_rows(xlsx_bytes(rows))
+    want = [[str(c) for c in row] for row in rows]
+    # trailing empty cells are not round-trippable (openpyxl's
+    # used-range semantics): compare after rstripping empties
+    def rstrip(r):
+        while r and r[-1] == "":
+            r = r[:-1]
+        return r
+
+    assert [rstrip(r) for r in got] == [rstrip(r) for r in want]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300), st.sampled_from(["hydra", "googlebot", "*"]))
+def test_parse_robots_never_crashes(body, agent):
+    """Arbitrary garbage robots.txt parses to a (possibly empty) prefix
+    list — never an exception (production robots files are garbage)."""
+    out = parse_robots_txt(body, agent)
+    assert isinstance(out, list)
+    assert all(isinstance(p, str) and p for p in out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=10))
+def test_detect_then_cast_is_total(values):
+    """Whatever type detection decides, every value that fed the
+    decision must cast under it without raising (the detect/cast pair
+    can never disagree — rows would silently null out otherwise)."""
+    t = detect_column_type(values)
+    for v in values:
+        smart_cast_cell(t, v)  # must not raise for the detected type
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-10**15, 10**15))
+def test_int_cast_roundtrip(n):
+    assert smart_cast_cell("int", str(n)) == n
+    assert detect_column_type([str(n)]) in ("int", "float")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+    )
+)
+def test_float_cast_roundtrip(x):
+    assert smart_cast_cell("float", repr(x)) == x
+
+
+def test_canonicalize_idempotent_batch(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a generated
+    url corpus (one Spark job, not one per hypothesis example)."""
+    from pyspark.sql import functions as F
+
+    from hydra_spark.functions.urls import canonicalize_url
+
+    urls = []
+    for i in range(300):
+        scheme = ["http", "HTTPS", "ftp"][i % 3]
+        port = ["", ":80", ":443", ":8080"][i % 4]
+        frag = ["", "#frag", "#a#b"][i % 3]
+        path = ["", "/", f"/p/{i}", f"/q?x={i}&y=2"][i % 4]
+        urls.append((i, f"{scheme}://Host{i % 5}.Example.COM{port}{path}{frag}"))
+    urls.append((1000, "no-scheme-at-all"))
+    urls.append((1001, "mailto:x@y.z"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    out = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    )
+    assert out.where(~F.col("c1").eqNullSafe(F.col("c2"))).count() == 0
+
+
+def test_shingle_hash_blocking_equivalence(spark):
+    """Equal texts → equal fingerprints; texts differing in any interior
+    word → different fingerprints (w.h.p.), over one generated batch."""
+    from pyspark.sql import functions as F
+
+    from hydra_spark.ml.text import fingerprint
+
+    rows = []
+    for i in range(200):
+        base = " ".join(f"w{j}_{i % 17}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base))  # duplicate pair
+    df = spark.createDataFrame(rows, "i long, text string")
+    fps = df.select("i", fingerprint("text").alias("fp")).collect()
+    by_i = {r["i"]: r["fp"] for r in fps}
+    for i in range(200):
+        assert by_i[2 * i] == by_i[2 * i + 1]
+    # 17 distinct base texts → exactly 17 distinct fingerprints
+    assert len(set(by_i.values())) == 17
