@@ -201,3 +201,29 @@ def test_appends_after_rewrite_do_not_collide(spark, tmp_path):
     assert rows == ["kept-a", "kept-b", "new0", "new1", "new2"]
     ids = [b["id"] for b in log.manifest()["batches"]]
     assert ids == sorted(set(ids)), ids  # unique, increasing
+
+
+def test_snapshot_expiry_and_time_travel(spark, tmp_path):
+    """SnapshotTable keeps time travel working across expiry: old
+    snapshots drop from disk, the current one always survives (even
+    when it is older than the keep window)."""
+    from hydra_spark.storage import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "t")
+    for i in range(5):
+        t.commit(spark.createDataFrame([(i,)], "v int"), round_id=i + 1)
+    assert t.current_snapshot()["id"] == 5
+    # time travel to an old snapshot
+    assert t.read(spark, snapshot_id=2).first()["v"] == 1
+
+    t.expire_snapshots(keep=2)
+    ids = [s["id"] for s in t.manifest()["snapshots"]]
+    assert ids == [4, 5]
+    assert t.read(spark).first()["v"] == 4  # current intact
+
+    # rollback, then expire: the (old) current snapshot must survive
+    t.rollback_to(4)
+    t.commit(spark.createDataFrame([(9,)], "v int"), round_id=9)
+    t.rollback_to(4)
+    t.expire_snapshots(keep=1)
+    assert t.read(spark).first()["v"] == 3  # snapshot 4 kept as current
