@@ -669,12 +669,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_layers"),
         )
 
-    def q_queue_depth(spark, sf):  # A10 over a real frontier
+    def q_queue_depth(spark, sf):  # A10 over a real frontier, all tiers
         from hydra_spark.datagen import generate_frontier
         from hydra_spark.stats import queue_depth
 
         frontier = generate_frontier(spark, _docs_pages(spark, sf))
-        return queue_depth(frontier, None, NOW)
+        # simulate mixed crawl state deterministically (md5-replayable):
+        # a third of resources have been checked; half of those are due
+        idx = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long")
+        frontier = frontier.withColumn(
+            "last_check", F.when(idx % 3 == 0, F.lit(1).cast("long"))
+        )
+        lc = frontier.where(F.col("last_check").isNotNull()).select(
+            "resource_id",
+            F.when(idx % 2 == 0, F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+            .otherwise(F.to_timestamp(F.lit("2999-01-01 00:00:00")))
+            .alias("next_check_at"),
+        )
+        return queue_depth(frontier, lc, NOW)
 
     def q_all_checks_join(spark, sf):  # J2: all checks per resource, desc
         c = _t(spark, sf, "customer").select("c_custkey", "c_name")
@@ -1005,11 +1017,14 @@ def oracle_sql() -> dict[str, str]:
             FROM range(30) t(i)
         """,
         "queue_depth": f"""
-            SELECT CASE WHEN idx % 97 = 0 THEN 0 ELSE 1 END AS tier,
-                   count(*) AS count
-            FROM (SELECT {md5_idx} AS idx FROM ({crawl_urls}))
-            WHERE idx % 499 <> 0
-            GROUP BY 1
+            SELECT tier, count(*) AS count FROM (
+              SELECT CASE WHEN idx % 97 = 0 THEN 0
+                          WHEN idx % 3 <> 0 THEN 1
+                          WHEN idx % 2 = 0 THEN 2
+                     END AS tier
+              FROM (SELECT {md5_idx} AS idx FROM ({crawl_urls}))
+              WHERE idx % 499 <> 0)
+            WHERE tier IS NOT NULL GROUP BY 1
         """,
         "all_checks_join": """
             SELECT c_custkey, c_name, o_orderkey,
