@@ -591,6 +591,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("ratio"), 2).alias("sum_ratio"),
         )
 
+    def q_resources_stats(spark, sf):  # A7 over a real frontier
+        from hydra_spark.datagen import generate_frontier
+        from hydra_spark.stats import resources_stats
+
+        frontier = generate_frontier(spark, _docs_pages(spark, sf))
+        return resources_stats(frontier)
+
+    def q_checks_stats(spark, sf):  # A6: ok/error/timeout + per-status %
+        from hydra_spark.stats import checks_stats
+
+        d = F.col("doc_id")
+        lc = _t(spark, sf, "documents").select(
+            d.alias("resource_id"),
+            F.when(d % 11 == 0, F.lit(None).cast("int"))
+            .when(d % 7 == 0, F.lit(404))
+            .when(d % 5 == 0, F.lit(301))
+            .otherwise(F.lit(200)).alias("status"),
+            (d % 11 == 0).alias("timeout"),
+        )
+        return checks_stats(lc).withColumn(
+            "percentage", F.col("percentage").cast("double")
+        )
+
     def q_xlsx_parse(spark, sf):  # S7: stdlib xlsx decode → typed ingest
         from hydra_spark.analysis.excel import analyse_excel_batch
         from hydra_spark.analysis.xlsx import xlsx_bytes
@@ -739,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "geojson_coords": q_geojson_coords,
         "cors_classification": q_cors_classification,
+        "resources_stats": q_resources_stats,
+        "checks_stats": q_checks_stats,
         "catalog_upsert": q_catalog_upsert,
         "parquet_export_roundtrip": q_parquet_export_roundtrip,
         "xlsx_parse": q_xlsx_parse,
@@ -977,6 +1002,26 @@ def oracle_sql() -> dict[str, str]:
                               THEN 'clicker' ELSE 'lurker' END AS cls
                   FROM events GROUP BY user_id)
             GROUP BY cls
+        """,
+        "resources_stats": f"""
+            SELECT count(*) AS total,
+                   CAST(sum(CASE WHEN idx % 499 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+                   CAST(sum(CASE WHEN idx % 97 = 0 AND idx % 499 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS priority
+            FROM (SELECT {md5_idx} AS idx FROM ({crawl_urls}))
+        """,
+        "checks_stats": """
+            SELECT category, status, count(*) AS count,
+                   CAST(round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS DOUBLE) AS percentage
+            FROM (
+              SELECT CASE WHEN doc_id % 11 = 0 THEN 'timeout'
+                          WHEN doc_id % 7 = 0 THEN 'error'
+                          ELSE 'ok' END AS category,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          WHEN doc_id % 7 = 0 THEN 404
+                          WHEN doc_id % 5 = 0 THEN 301
+                          ELSE 200 END AS status
+              FROM documents)
+            GROUP BY 1, 2 ORDER BY count DESC, status
         """,
         "catalog_upsert": """
             SELECT 'rid-' || lpad(CAST(i AS VARCHAR), 5, '0') AS resource_id,
