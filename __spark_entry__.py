@@ -1108,8 +1108,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": r"""
             SELECT doc_id,
-              list_sum([CASE WHEN 2*list_sum([(h >> b) & 1 FOR h IN hashes]) > len(hashes)
-                             THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(0,16)]) AS simhash
+              CAST(list_sum([CASE WHEN 2*list_sum([(h >> b) & 1 FOR h IN hashes]) > len(hashes)
+                             THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(0,16)])
+                   AS BIGINT) AS simhash
             FROM (
               SELECT doc_id,
                 [list_sum([(strpos('0123456789abcdef', substring(md5(w), j, 1))-1)::BIGINT

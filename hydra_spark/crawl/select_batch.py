@@ -90,10 +90,15 @@ def select_batch(
         # reference-exact semantics: breadth-first rank per host, then a
         # global (host_rank, tier, random) LIMIT — compiles to
         # TakeOrderedAndProject (driver-side top-k merge: fine for small
-        # k, serial for huge k)
+        # k, serial for huge k). Per-domain claim cap on the SAME window
+        # (reference enforces the politeness budget per URL *during* the
+        # round, crawl/helpers.py:93-108): a round never claims more than
+        # backoff_nb_req URLs of one domain, so politeness holds inside a
+        # batch, not just between rounds.
         w = Window.partitionBy("domain").orderBy("tier", "rnd", "resource_id")
         return (
             el.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= cfg.backoff_nb_req)
             .orderBy("host_rank", "tier", "rnd", "resource_id")
             .limit(cfg.batch_size)
             .select(*out_cols)
@@ -113,8 +118,17 @@ def select_batch(
     el = el.withColumn("salt", salt).repartition(F.col("host_bucket"))
     w1 = Window.partitionBy("host_bucket", "domain", "salt").orderBy("tier", "rnd", "resource_id")
     wb = Window.partitionBy("host_bucket").orderBy("host_rank", "tier", "rnd", "resource_id")
+    # Per-domain claim cap WITHOUT unsalting the hot-domain skew: split
+    # backoff_nb_req across the salt shards (floor + remainder to the low
+    # shards), so the shard caps sum to EXACTLY the budget and a round
+    # never claims more than backoff_nb_req URLs of one domain — on the
+    # same (domain, salt) window, zero extra shuffles (reference checks
+    # the budget per URL during the round, crawl/helpers.py:93-108).
+    base, rem = divmod(cfg.backoff_nb_req, cfg.heavy_host_salt)
+    shard_cap = F.lit(base) + F.when(F.col("salt") < rem, F.lit(1)).otherwise(F.lit(0))
     return (
         el.withColumn("host_rank", F.row_number().over(w1))
+        .where(F.col("host_rank") <= shard_cap)
         .withColumn("bucket_rank", F.row_number().over(wb))
         .where(F.col("bucket_rank") <= quota)
         .select(*out_cols)

@@ -91,13 +91,24 @@ def geojson_features(df: DataFrame, geo: dict, properties: list[str] | None = No
 
 
 def export_geojson(df: DataFrame, geo: dict, path: str, properties: list[str] | None = None) -> dict:
-    """FeatureCollection written as a single text file (the reference
-    streams one JSON document; we coalesce(1) — exports are per-resource
-    and bounded, the crawl-scale data never takes this path)."""
+    """FeatureCollection streamed feature-by-feature, like the reference's
+    row-streaming writer (csv_like/to_geojson.py:55-143): driver memory is
+    bounded by one fetched partition (`toLocalIterator`), not the whole
+    document — a resource at the filesize cap no longer holds every
+    feature string in driver heap at once. Output bytes are identical to
+    the old single-string writer."""
     feats = geojson_features(df, geo, properties)
-    rows = [r["feature"] for r in feats.collect()]
-    doc = '{"type": "FeatureCollection", "features": [' + ",".join(rows) + "]}"
+    n = 0
+    size = 0
     with open(path, "w") as f:
-        f.write(doc)
-    json.loads(doc)  # sanity: emitted document is valid JSON
-    return {"geojson_url": path, "geojson_size": len(doc), "features": len(rows)}
+        head = '{"type": "FeatureCollection", "features": ['
+        f.write(head)
+        size += len(head)
+        for r in feats.toLocalIterator(prefetchPartitions=True):
+            s = r["feature"] if n == 0 else "," + r["feature"]
+            f.write(s)
+            size += len(s)
+            n += 1
+        f.write("]}")
+        size += 2
+    return {"geojson_url": path, "geojson_size": size, "features": n}

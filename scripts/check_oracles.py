@@ -24,12 +24,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    # Tag numerics by kind (int vs float) — the driver's hash gate compares
+    # typed values, so DuckDB HUGEINT→float64 vs Spark BIGINT must FAIL here
+    # too (the r2 `simhash` bug was invisible to an untyped compare).
     if isinstance(v, Decimal):
         v = float(v)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return ("f", "NaN")
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):

@@ -99,8 +99,10 @@ def test_empty_round_is_safe(spark, corpus, tmp_path):
     pages, frontier = corpus
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
-    run_crawl(spark, store, pages, CFG.with_(batch_size=10_000_000), rounds=1)
-    res = run_crawl(spark, store, pages, CFG.with_(batch_size=10_000_000), rounds=1)
+    # lift the politeness budget so round 1 drains the whole frontier
+    cfg = CFG.with_(batch_size=10_000_000, backoff_nb_req=10_000_000)
+    run_crawl(spark, store, pages, cfg, rounds=1)
+    res = run_crawl(spark, store, pages, cfg, rounds=1)
     assert res[0]["n_checked"] == 0
     assert store.last_round() == 2
 
@@ -121,3 +123,59 @@ def test_compaction_preserves_resume_equality(spark, corpus, tmp_path):
     fa = {(r["resource_id"], r["last_check"], r["status"]) for r in a.frontier.read(spark).collect()}
     fb = {(r["resource_id"], r["last_check"], r["status"]) for r in b.frontier.read(spark).collect()}
     assert fa == fb
+
+
+def _skewed_frontier(spark, hot_n, cold_hosts, cold_n_each):
+    """Frontier with one hot domain (hot_n URLs) + cold_hosts domains of
+    cold_n_each — only the columns select_batch reads."""
+    from pyspark.sql import functions as F
+
+    from hydra_spark.functions.urls import host_bucket
+
+    hot = spark.range(hot_n).selectExpr(
+        "concat('https://hot.example.com/r/', id) as url"
+    )
+    cold = spark.range(cold_hosts * cold_n_each).selectExpr(
+        f"concat('https://cold', id % {cold_hosts}, '.example.com/r/', id) as url"
+    )
+    fr = hot.unionAll(cold)
+    return fr.select(
+        F.substring(F.md5(F.col("url")), 1, 24).alias("dataset_id"),
+        F.md5(F.col("url")).alias("resource_id"),
+        "url",
+        F.lit(False).alias("deleted"),
+        F.lit(None).cast("long").alias("last_check"),
+        F.lit(False).alias("priority"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("timestamp").alias("harvest_modified_at"),
+        F.lit(None).cast("string").alias("format"),
+    ).withColumn("host_bucket", host_bucket("url", DEFAULT.frontier_buckets))
+
+
+def test_per_domain_claim_cap_small_path(spark):
+    """A round never claims more than backoff_nb_req URLs of one domain,
+    even when the batch could absorb them (reference checks the budget
+    per URL during the round — crawl/helpers.py:93-108)."""
+    fr = _skewed_frontier(spark, hot_n=1000, cold_hosts=40, cold_n_each=50)
+    cfg = DEFAULT.with_(batch_size=5000)
+    assert cfg.batch_size <= cfg.bucket_claim_threshold  # small path
+    rows = select_batch(fr, None, cfg, 1, "2025-01-15 00:00:00").collect()
+    by_dom = {}
+    for r in rows:
+        by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+    assert 0 < by_dom["hot.example.com"] <= cfg.backoff_nb_req
+
+
+def test_per_domain_claim_cap_scale_path(spark):
+    """Same politeness invariant on the salted bucket-claim path: the
+    per-(domain, salt) shard caps sum to exactly backoff_nb_req."""
+    fr = _skewed_frontier(spark, hot_n=5000, cold_hosts=200, cold_n_each=100)
+    cfg = DEFAULT.with_(batch_size=20_000)
+    assert cfg.batch_size > cfg.bucket_claim_threshold  # scale path
+    rows = select_batch(fr, None, cfg, 1, "2025-01-15 00:00:00").collect()
+    by_dom = {}
+    for r in rows:
+        by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+    assert 0 < by_dom["hot.example.com"] <= cfg.backoff_nb_req
+    # cold domains are untouched by the cap
+    assert sum(by_dom.values()) > 10_000

@@ -54,3 +54,28 @@ def test_geojson_passthrough_and_collection(spark, tmp_path):
     assert doc["type"] == "FeatureCollection"
     assert doc["features"][0]["geometry"]["coordinates"] == [1.0, 2.0]
     assert doc["features"][0]["properties"] == {"id": 1, "name": "x"}
+
+
+def test_geojson_streamed_large_byte_identical(spark, tmp_path):
+    """100k features through the streaming writer: driver never holds the
+    whole document, and the bytes equal the old collect-and-join layout."""
+    df = (
+        spark.range(100_000)
+        .selectExpr(
+            "id",
+            "cast(id % 90 as double) as lat",
+            "cast(id % 180 as double) as lon",
+        )
+        .repartition(8)
+    )
+    geo = {"kind": "latlon_pair", "lat": "lat", "lon": "lon"}
+    out = export_geojson(df, geo, str(tmp_path / "big.geojson"))
+    assert out["features"] == 100_000
+    data = open(out["geojson_url"]).read()
+    assert out["geojson_size"] == len(data)
+    # byte-identical to the single-string construction over the same rows
+    feats = [r["feature"] for r in geojson_features(df, geo).collect()]
+    expected = '{"type": "FeatureCollection", "features": [' + ",".join(feats) + "]}"
+    assert data == expected
+    doc = json.loads(data)
+    assert len(doc["features"]) == 100_000
