@@ -117,16 +117,34 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
         emb_q = emb.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+        import shutil as _sh
+        import tempfile as _tf
+
+        ivf_dir = _tf.mkdtemp(prefix="hydra_bench_ivf_")
+
+        def _ivf_indexed():
+            similarity.ivf_build_index(emb, f"{ivf_dir}/idx", n_clusters=16)
+            return similarity.ivf_topk_indexed(
+                spark, f"{ivf_dir}/idx", emb_q, k=5, n_probe=4
+            )
+
         hot = {
             "fingerprint": lambda: docs.select(mltext.fingerprint("text").alias("fp")),
             "minhash_pairs": lambda: dedup.minhash_lsh_candidates(docs, k=16, bands=4),
             "simhash": lambda: dedup.simhash(docs).select("doc_id", "simhash"),
+            "jaccard_verify": lambda: dedup.jaccard_verify(
+                docs, dedup.minhash_lsh_candidates(docs, k=16, bands=4), n=3
+            ),
+            "minhash_dedup_cc": lambda: dedup.connected_components(
+                dedup.minhash_lsh_candidates(docs, k=16, bands=4)
+            ),
             "ann_topk": lambda: similarity.ann_topk(
                 emb, emb_q, k=5, n_planes=8, probes=2, tables=4
             ),
             "ivf_topk": lambda: similarity.ivf_topk(
                 emb, emb_q, k=5, n_clusters=16, n_probe=4
             ),
+            "ivf_topk_indexed": _ivf_indexed,
             "embedding_near_dups": lambda: dedup.embedding_near_dups(
                 emb, n_planes=12, max_bucket=200
             ),
@@ -135,6 +153,7 @@ def main() -> None:
             t0 = time.time()
             force(fn())
             timings[name] = round(time.time() - t0, 3)
+        _sh.rmtree(ivf_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -142,8 +161,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        # crawl-only runs are labeled by the corpus scale they actually
+        # crawled (HYDRA_BENCH_SF), not the parquet dir's sf
+        "sf": sf if mode == "full" else sf_crawl,
         "crawl": {
+            "sf_crawl": sf_crawl,
             "n_urls_checked": n_checked,
             "rounds": rounds,
             "batch_size": batch,

@@ -36,13 +36,14 @@ def _maybe_gunzip(b) -> bytes | None:
 
 
 def _decode_or_sheet(b: bytes) -> str:
-    """utf-8 decode, except xlsx payloads decode to their CSV-shaped
-    sheet text — keep in lockstep with ingest._extract_text_py."""
-    if b[:4] == b"PK\x03\x04":
-        from hydra_spark.analysis.xlsx import xlsx_rows
+    """utf-8 decode, except Excel payloads (xlsx zip / legacy .xls OLE2)
+    decode to their CSV-shaped sheet text — keep in lockstep with
+    ingest._extract_text_py."""
+    if b[:4] == b"PK\x03\x04" or b[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        from hydra_spark.analysis.ingest import _excel_rows
 
         try:
-            return "\n".join(",".join(r) for r in xlsx_rows(b))
+            return "\n".join(",".join(r) for r in _excel_rows(b))
         except Exception:
             return ""
     return b.decode("utf-8", "replace")
@@ -77,8 +78,12 @@ def extract_text_jvm(html_col: Column) -> Column:
     path; everything else never leaves the JVM."""
     s = html_col.cast("string")  # lenient: invalid bytes → U+FFFD, like decode(..,'replace')
     has_p = s.rlike("<p>(.*)</p>")  # non-dotall, same as python re default
+    # (?U) makes Java's \s Unicode-aware like Python's (NBSP etc.) —
+    # without it the two twins diverge on non-ASCII whitespace; the
+    # collapse turns any leading/trailing run into a single ASCII
+    # space, so the plain trim() stays equivalent to python strip()
     fallback = F.trim(
-        F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"(?U)\s+", " ")
     )
     return F.when(
         s.startswith("<html"),

@@ -48,6 +48,21 @@ ROWS_SCHEMA = T.StructType(
     ]
 )
 
+_OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _excel_rows(data: bytes) -> list[list[str]]:
+    """First-sheet rows for either Excel container (magic-dispatched);
+    local import: analysis.excel imports from this module."""
+    if data[:8] == _OLE2_MAGIC:
+        from hydra_spark.analysis.xls import xls_rows
+
+        return xls_rows(data)
+    from hydra_spark.analysis.xlsx import xlsx_rows
+
+    return xlsx_rows(data)
+
+
 # combined per-round output: extracted text rows (kind='text') + parsed
 # csv rows (kind='row') from ONE pass over the fetched bytes
 OUTPUTS_SCHEMA = T.StructType(
@@ -67,16 +82,16 @@ def _analyse_one(
     url: str, rid: str, did: str, data: bytes, table: str, prev_inspection: dict | None = None
 ) -> list[tuple]:
     data = _gunzip_if_needed(data)
-    if data[:4] == b"PK\x03\x04":  # xlsx: decode sheet → CSV text, then
-        # the shared inspect/cast pipeline (typing semantics identical
-        # to the CSV path — utils/reader.py routes both through casting)
+    if data[:4] == b"PK\x03\x04" or data[:8] == _OLE2_MAGIC:
+        # Excel (xlsx zip / legacy .xls OLE2): decode first sheet → CSV
+        # text, then the shared inspect/cast pipeline (typing semantics
+        # identical to the CSV path — utils/reader.py routes both
+        # through casting)
         import csv as _csv
         import io as _io
 
-        from hydra_spark.analysis.xlsx import xlsx_rows
-
         try:
-            rows = xlsx_rows(data)
+            rows = _excel_rows(data)
         except Exception as e:
             return [(table, rid, did, url, None, None, None, f"excel:{e}")]
         buf = _io.StringIO()
@@ -140,11 +155,9 @@ def _extract_text_py(data: bytes) -> str:
     import re
 
     data = _gunzip_if_needed(data)
-    if data[:4] == b"PK\x03\x04":
-        from hydra_spark.analysis.xlsx import xlsx_rows
-
+    if data[:4] == b"PK\x03\x04" or data[:8] == _OLE2_MAGIC:
         try:
-            return "\n".join(",".join(r) for r in xlsx_rows(data))
+            return "\n".join(",".join(r) for r in _excel_rows(data))
         except Exception:
             return ""
     s = data.decode("utf-8", "replace")

@@ -49,12 +49,44 @@ def _num_str(v: str) -> str:
     return repr(f)  # float literal, openpyxl yields float (str(3.0)='3.0')
 
 
-def xlsx_rows(data: bytes) -> list[list[str]]:
-    """Stdlib xlsx → rows of strings (first sheet), the shape
-    utils/reader.py:31-43 produces via openpyxl iter_rows. Sparse rows
-    are densified from cell refs; trailing missing cells are left out
-    (matching openpyxl's used-range behavior closely enough for the
-    tabular files hydra ingests)."""
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, zip part path)] in WORKBOOK order (what openpyxl's
+    wb.sheetnames reflects), resolved through workbook.xml.rels."""
+    names = zf.namelist()
+    if "xl/workbook.xml" not in names:
+        return []
+    rels: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        root = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in root.iter(f"{_REL_NS}Relationship"):
+            target = rel.get("Target", "")
+            part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+            rels[rel.get("Id", "")] = part
+    out = []
+    root = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+    for sheet in root.iter(f"{_NS}sheet"):
+        part = rels.get(sheet.get(f"{_R_NS}id", ""))
+        if part and part in names:
+            out.append((sheet.get("name", ""), part))
+    return out
+
+
+def xlsx_sheet_names(data: bytes) -> list[str]:
+    return [n for n, _ in _workbook_sheets(zipfile.ZipFile(io.BytesIO(data)))]
+
+
+def xlsx_rows(data: bytes, sheet_name: str | None = None) -> list[list[str]]:
+    """Stdlib xlsx → rows of strings, the shape utils/reader.py:31-43
+    produces via openpyxl iter_rows. ``sheet_name`` selects like the
+    reference's inspection-driven ``wb[sheet_name]`` (utils/reader.py:36),
+    default first sheet in workbook order. Sparse rows are densified from
+    cell refs; trailing missing cells are left out (matching openpyxl's
+    used-range behavior closely enough for the tabular files hydra
+    ingests)."""
     zf = zipfile.ZipFile(io.BytesIO(data))
     names = zf.namelist()
 
@@ -63,12 +95,20 @@ def xlsx_rows(data: bytes) -> list[list[str]]:
         root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
         shared = [_cell_text(si) for si in root.iter(f"{_NS}si")]
 
-    sheet_name = next(
-        (n for n in sorted(names) if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)), None
-    )
-    if sheet_name is None:
+    sheets = _workbook_sheets(zf)
+    if sheet_name is not None:
+        part = next((p for n, p in sheets if n == sheet_name), None)
+        if part is None:
+            raise ValueError(f"xlsx: no sheet named {sheet_name!r}")
+    elif sheets:
+        part = sheets[0][1]
+    else:  # no/odd workbook.xml: fall back to lowest-numbered sheet part
+        part = next(
+            (n for n in sorted(names) if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)), None
+        )
+    if part is None:
         raise ValueError("xlsx has no worksheet XML")
-    root = ElementTree.fromstring(zf.read(sheet_name))
+    root = ElementTree.fromstring(zf.read(part))
 
     rows: list[list[str]] = []
     for row in root.iter(f"{_NS}row"):
@@ -95,10 +135,15 @@ def xlsx_rows(data: bytes) -> list[list[str]]:
     return rows
 
 
-def xlsx_bytes(rows: list[list]) -> bytes:
-    """Deterministic minimal xlsx writer (fixtures/datagen): one sheet,
-    inline strings for non-numeric cells, fixed zip timestamps so equal
-    rows → equal bytes."""
+def xlsx_bytes(
+    rows: list[list],
+    sheet_name: str = "Sheet1",
+    extra_sheets: list | None = None,
+) -> bytes:
+    """Deterministic minimal xlsx writer (fixtures/datagen): inline
+    strings for non-numeric cells, fixed zip timestamps so equal rows →
+    equal bytes. ``extra_sheets`` = [(name, rows)] appended after the
+    first sheet."""
 
     def esc(s: str) -> str:
         return (
@@ -118,13 +163,32 @@ def xlsx_bytes(rows: list[list]) -> bytes:
             out = chr(ord("A") + r) + out
         return out
 
-    body = "".join(
-        f'<row r="{ri + 1}">'
-        + "".join(cell_xml(f"{col_letters(ci)}{ri + 1}", v) for ci, v in enumerate(row))
-        + "</row>"
-        for ri, row in enumerate(rows)
-    )
+    def sheet_xml(sheet_rows: list[list]) -> str:
+        body = "".join(
+            f'<row r="{ri + 1}">'
+            + "".join(cell_xml(f"{col_letters(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+            + "</row>"
+            for ri, row in enumerate(sheet_rows)
+        )
+        return (
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_NS[1:-1]}"><sheetData>{body}</sheetData></worksheet>'
+        )
+
     ns = _NS[1:-1]
+    sheets = [(sheet_name, rows)] + list(extra_sheets or [])
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheets))
+    )
+    sheet_decls = "".join(
+        f'<sheet name="{esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (n, _) in enumerate(sheets)
+    )
+    sheet_rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
     files = {
         "[Content_Types].xml": (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -132,7 +196,7 @@ def xlsx_bytes(rows: list[list]) -> bytes:
             '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            f"{overrides}"
             "</Types>"
         ),
         "_rels/.rels": (
@@ -144,19 +208,17 @@ def xlsx_bytes(rows: list[list]) -> bytes:
         "xl/workbook.xml": (
             f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-            f'<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+            f"<sheets>{sheet_decls}</sheets></workbook>"
         ),
         "xl/_rels/workbook.xml.rels": (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            f"{sheet_rels}"
             "</Relationships>"
         ),
-        "xl/worksheets/sheet1.xml": (
-            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-            f'<worksheet xmlns="{ns}"><sheetData>{body}</sheetData></worksheet>'
-        ),
     }
+    for i, (_, sheet_rows) in enumerate(sheets):
+        files[f"xl/worksheets/sheet{i + 1}.xml"] = sheet_xml(sheet_rows)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for name, content in files.items():

@@ -97,10 +97,12 @@ def simulate_fetch(
     # this corpus, like the reference's magic→xlsx detection); html
     # marker → text/html; a first line with ≥2 commas followed by more
     # lines → text/csv; else text/plain
+    from hydra_spark.analysis.xls import XLS_MAGIC, XLS_MIME
     from hydra_spark.analysis.xlsx import XLSX_MIME
 
     is_gzip = F.hex(F.substring(F.col("html"), 1, 2)) == "1F8B"
     is_zip = F.hex(F.substring(F.col("html"), 1, 4)) == "504B0304"
+    is_ole2 = F.hex(F.substring(F.col("html"), 1, 8)) == XLS_MAGIC.hex().upper()
     # lenient UTF-8 (cast, not decode): gzip bodies are not valid UTF-8
     # and Spark 4's decode() raises on malformed input
     head = F.substring(F.col("html"), 1, 200).cast("string")
@@ -109,6 +111,7 @@ def simulate_fetch(
     mime = F.when(~found, F.lit(None).cast("string")).otherwise(
         F.when(is_gzip, F.lit("application/gzip"))
         .when(is_zip, F.lit(XLSX_MIME))
+        .when(is_ole2, F.lit(XLS_MIME))
         .when(head.startswith("<html"), F.lit("text/html"))
         .when(looks_csv, F.lit("text/csv"))
         .otherwise(F.lit("text/plain"))

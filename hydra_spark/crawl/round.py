@@ -152,12 +152,13 @@ def run_round(
     # are extracted transparently downstream (utils/file.py:37-43);
     # oversized downloads are refused (MAX_FILESIZE_ALLOWED,
     # utils/file.py:46-115) and recorded as an analysis error
+    from hydra_spark.analysis.xls import XLS_MIME
     from hydra_spark.analysis.xlsx import XLSX_MIME
 
     size_cap = int(cfg.max_filesize_allowed.get("csv", cfg.max_filesize_allowed["default"]))
     parseable = (
         (F.col("change_status") != "unchanged")
-        & F.col("mime_type").isin("text/csv", "application/gzip", XLSX_MIME)
+        & F.col("mime_type").isin("text/csv", "application/gzip", XLSX_MIME, XLS_MIME)
         & F.col("status").isNotNull()
         & (F.col("status") < 400)
     )

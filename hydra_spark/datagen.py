@@ -122,17 +122,23 @@ def generate_pages(
         .withColumn("payload", F.when(is_csv, csv_body).otherwise(html_body))
         .withColumn("html", F.encode(F.col("payload"), "UTF-8"))
         .withColumn("lang", F.when(F.col("host_id") % 3 == 0, F.lit("en")).otherwise(F.lit("fr")))
-        # a slice of CSV pages ships gzip-compressed (S5/C17 path) and
-        # another slice as xlsx workbooks (S7 path); `text` stays the
-        # decompressed/decoded reference text either way
+        # a slice of CSV pages ships gzip-compressed (S5/C17 path),
+        # another as xlsx workbooks and a third as legacy .xls (S7
+        # paths); `text` stays the decompressed/decoded reference text
+        # either way
         .withColumn("gzipped", is_csv & (pid % 131 == 3))
         .withColumn("xlsxed", is_csv & (pid % 127 == 5) & ~(pid % 131 == 3))
+        .withColumn(
+            "xlsed",
+            is_csv & (pid % 137 == 7) & ~(pid % 131 == 3) & ~(pid % 127 == 5),
+        )
     )
-    out = df.select("url", "warc_ts", "html", "text", "lang", "gzipped", "xlsxed")
+    out = df.select("url", "warc_ts", "html", "text", "lang", "gzipped", "xlsxed", "xlsed")
 
     def _gz(batches):
         import gzip
 
+        from hydra_spark.analysis.xls import xls_bytes
         from hydra_spark.analysis.xlsx import xlsx_bytes
 
         for pdf in batches:
@@ -141,12 +147,13 @@ def generate_pages(
                 pdf.loc[mask, "html"] = pdf.loc[mask, "html"].map(
                     lambda b: gzip.compress(bytes(b), compresslevel=1, mtime=0)
                 )
-            xmask = pdf["xlsxed"]
-            if xmask.any():
-                pdf.loc[xmask, "html"] = pdf.loc[xmask, "text"].map(
-                    lambda t: xlsx_bytes([line.split(",") for line in t.split("\n")])
-                )
-            yield pdf.drop(columns=["gzipped", "xlsxed"])
+            for col, codec in (("xlsxed", xlsx_bytes), ("xlsed", xls_bytes)):
+                xmask = pdf[col]
+                if xmask.any():
+                    pdf.loc[xmask, "html"] = pdf.loc[xmask, "text"].map(
+                        lambda t: codec([line.split(",") for line in t.split("\n")])
+                    )
+            yield pdf.drop(columns=["gzipped", "xlsxed", "xlsed"])
 
     return out.mapInPandas(
         _gz, schema="url string, warc_ts timestamp, html binary, text string, lang string"

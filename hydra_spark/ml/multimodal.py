@@ -2,11 +2,20 @@
 
 Image/audio/video assets travel as `binary` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched `mapInPandas` stages. The actual codec work is STUBBED
-(no image/audio libraries in this container): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-byte-histogram "feature" is produced — the Spark-side plumbing (schema,
-partitioning, UDF signatures, batch shapes) is real and tested.
+Arrow-batched `mapInPandas` stages.
+
+Decode status:
+- PNG (8-bit, non-interlaced; gray/gray+alpha/RGB/RGBA/palette) and
+  uncompressed BMP (24/32-bit BI_RGB) decode to real pixel arrays with
+  the stdlib alone (zlib + struct) — no PIL needed.
+- PNG/GIF/BMP headers parse to (width, height, channels) metadata
+  without decoding pixels (`parse_image_header` / `probe_image_meta`).
+- JPEG/GIF pixels, audio and video codecs still need external
+  libraries (PIL/ffmpeg, absent in this container): those raise
+  NotImplementedError unless `fake=True`, in which case a
+  deterministic byte-histogram "feature" is produced — the Spark-side
+  plumbing (schema, partitioning, UDF signatures, batch shapes) is
+  real and tested either way.
 """
 
 from __future__ import annotations
@@ -50,22 +59,183 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode needs PIL/libvips — not in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an image library (PIL/libvips); "
-            "run with fake=True for the deterministic stand-in"
-        )
-    # deterministic stand-in: 16-bin byte histogram, L1-normalized
-    a = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(a >> 4, minlength=16).astype(np.float32)
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (palette counts as 3 after expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """(format, width, height, channels, bit_depth) from the container
+    header alone — PNG IHDR / GIF logical screen / BMP info header, all
+    stdlib struct. None when the magic is not a known image format."""
+    import struct
+
+    b = bytes(payload)
+    if b[:8] == _PNG_MAGIC and len(b) >= 33 and b[12:16] == b"IHDR":
+        w, h, depth, color = struct.unpack_from(">IIBB", b, 16)
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "channels": _PNG_CHANNELS.get(color, 0),
+            "bit_depth": depth,
+        }
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13:
+        w, h = struct.unpack_from("<HH", b, 6)
+        gct = b[10]
+        return {
+            "format": "gif",
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "bit_depth": (gct & 0x07) + 1,
+        }
+    if b[:2] == b"BM" and len(b) >= 30:
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        return {
+            "format": "bmp",
+            "width": w,
+            "height": abs(h),
+            "channels": max(bpp // 8, 1),
+            "bit_depth": min(bpp, 8),
+        }
+    return None
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Full stdlib PNG decode → (H, W, C) uint8: zlib-inflate the IDAT
+    stream, undo the per-scanline filters (None/Sub/Up/Average/Paeth),
+    expand palettes. Scope: 8-bit depth, non-interlaced (the common
+    web case); anything else raises. Per-scanline loop is fine for the
+    thumbnail/asset sizes this stage sees — production-size rasters
+    belong in a native codec."""
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    depth = color = interlace = 0
+    idat = []
+    palette = None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(f"PNG depth={depth} interlace={interlace} unsupported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intc)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(np.intc)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the previous pixel → sequential in x
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                up = prev[x]
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + up) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(height, width, nch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        pixels = palette[pixels[:, :, 0]]
+    return pixels
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP → (H, W, C) uint8 in RGB(A)
+    order, honoring bottom-up vs top-down row order and 4-byte row
+    padding."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    px_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        off = px_off + y * stride
+        rows.append(np.frombuffer(b, dtype=np.uint8, count=w * nch, offset=off).reshape(w, nch))
+    img = np.stack(rows)
+    if h > 0:  # bottom-up storage
+        img = img[::-1]
+    return img[:, :, [2, 1, 0]] if nch == 3 else img[:, :, [2, 1, 0, 3]]
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """16-bin intensity histogram over decoded pixels, L1-normalized —
+    the real-decode twin of the fake byte-histogram feature."""
+    hist = np.bincount(pixels.reshape(-1) >> 4, minlength=16).astype(np.float32)
     return hist / max(hist.sum(), 1.0)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """fake=True → deterministic 16-bin byte histogram (the oracle
+    stand-in, unchanged). fake=False → real pixel decode for PNG/BMP;
+    GIF/JPEG pixels still need PIL and raise."""
+    if fake:
+        # deterministic stand-in: 16-bin byte histogram, L1-normalized
+        a = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(a >> 4, minlength=16).astype(np.float32)
+        return hist / max(hist.sum(), 1.0)
+    hdr = parse_image_header(payload)
+    if hdr is not None and hdr["format"] == "png":
+        return decode_png(payload)
+    if hdr is not None and hdr["format"] == "bmp":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only PNG/BMP decode with the stdlib; other formats need an image "
+        "library (PIL/libvips) — run with fake=True for the stand-in"
+    )
 
 
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction — one Arrow batch at a time, no
-    shuffle; the decode itself is the stub above."""
+    shuffle. fake=True → byte-histogram stand-in for every payload
+    (the oracle path); fake=False → real pixel histogram for decodable
+    images (PNG/BMP), NotImplementedError otherwise."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,7 +243,12 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
-                feats.append(decode_image(b, fake=fake).tolist() if b else None)
+                if not b:
+                    feats.append(None)
+                elif fake:
+                    feats.append(decode_image(b, fake=True).tolist())
+                else:
+                    feats.append(image_features(decode_image(b)).tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -84,6 +259,43 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_image_meta(assets: DataFrame) -> DataFrame:
+    """Typed metadata from container headers alone (no pixel decode):
+    one Arrow-batched pass, NULLs for unknown formats. This is the
+    cheap scan you run over 100 TB of payloads before deciding what to
+    decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in pdf[["asset_id", "payload"]].itertuples(index=False):
+                hdr = parse_image_header(bytes(payload)) if payload is not None else None
+                if hdr is None:
+                    rows.append((int(aid), None, None, None, None, None))
+                else:
+                    rows.append(
+                        (int(aid), hdr["format"], hdr["width"], hdr["height"],
+                         hdr["channels"], hdr["bit_depth"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "format", "width", "height", "channels", "bit_depth"]
+            )
+
+    return assets.mapInPandas(gen, schema=META_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:

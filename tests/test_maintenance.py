@@ -39,7 +39,7 @@ def test_exceptions_bypass_size_cap(spark, tmp_path):
     init_state(store, frontier)
     run_crawl(
         spark, store, pages,
-        DEFAULT.with_(batch_size=100_000, max_filesize_allowed=tiny),
+        DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000, max_filesize_allowed=tiny),
         rounds=1, exceptions=exceptions,
     )
     checks = {r["resource_id"]: r for r in store.checks.read(spark).collect()}
@@ -74,7 +74,7 @@ def test_purge_checks_roundtrip(spark, tmp_path):
     frontier = generate_frontier(spark, pages)
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
-    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1)
     res = purge_checks_keep_last_n(spark, store, 1)
     assert res["after"] <= res["before"]
     assert store.checks.read(spark).count() == res["after"]
@@ -125,7 +125,7 @@ def test_purge_orphan_parsed_keeps_outputs_readable(spark, tmp_path):
     frontier = generate_frontier(spark, pages)
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
-    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1)
     before = store.outputs.read(spark).count()
     assert before > 0
 

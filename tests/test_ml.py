@@ -347,3 +347,136 @@ def test_ivf_indexed_empty_queries(spark, emb, tmp_path):
     out = similarity.ivf_topk_indexed(spark, path, empty, k=5, n_probe=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+# ---- real stdlib image decode ---------------------------------------------------
+
+def _encode_png(pixels, color_type, palette=None, filters=None):
+    """Tiny PNG encoder for tests: applies the requested per-row filter
+    so decode_png's unfiltering (None/Sub/Up/Average/Paeth) is exercised
+    against ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = pixels.shape if pixels.ndim == 3 else (*pixels.shape, 1)
+    raw = pixels.reshape(h, w * nch).astype(np.intc)
+    filters = filters or [0] * h
+    lines = []
+    prev = np.zeros(w * nch, dtype=np.intc)
+    for y, ftype in enumerate(filters):
+        cur = raw[y]
+        enc = cur.copy()
+        for x in range(w * nch):
+            a = cur[x - nch] if x >= nch else 0
+            up = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ftype == 1:
+                enc[x] = (cur[x] - a) & 0xFF
+            elif ftype == 2:
+                enc[x] = (cur[x] - up) & 0xFF
+            elif ftype == 3:
+                enc[x] = (cur[x] - ((a + up) >> 1)) & 0xFF
+            elif ftype == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png, parse_image_header
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    data = _encode_png(pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    hdr = parse_image_header(data)
+    assert hdr == {"format": "png", "width": 4, "height": 5, "channels": 3, "bit_depth": 8}
+    assert np.array_equal(decode_png(data), pixels)
+
+    # grayscale + alpha (2 channels), all paeth
+    ga = rng.integers(0, 256, size=(3, 6, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(_encode_png(ga, 4, filters=[4, 4, 4])), ga)
+
+    # palette expansion
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    got = decode_png(_encode_png(idx, 3, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_bmp_decode_and_gif_header():
+    import struct
+
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_bmp, parse_image_header
+
+    # 3x2 24-bit bottom-up BMP, rows padded to 4 bytes
+    pixels = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    stride = (3 * 3 + 3) & ~3
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        row = pixels[y][:, [2, 1, 0]].tobytes()  # BGR on disk
+        rows += row + b"\x00" * (stride - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    data = header + info + rows
+    assert parse_image_header(data)["format"] == "bmp"
+    assert np.array_equal(decode_bmp(data), pixels)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    hdr = parse_image_header(gif)
+    assert hdr["format"] == "gif" and hdr["width"] == 320 and hdr["height"] == 200
+    assert parse_image_header(b"\x00" * 40) is None
+
+
+def test_extract_features_real_png_and_probe_meta(spark):
+    """extract_features(fake=False) works on REAL PNG bytes without PIL,
+    and probe_image_meta types headers across formats in one pass."""
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import (
+        extract_features,
+        image_features,
+        probe_image_meta,
+    )
+
+    rng = np.random.default_rng(3)
+    pngs = [
+        _encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8), 2)
+        for _ in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p), None) for i, p in enumerate(pngs)],
+        "asset_id long, media_type string, payload binary, meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    feats = {r["asset_id"]: r["features"] for r in extract_features(df, fake=False).collect()}
+    assert len(feats) == 4
+    from hydra_spark.ml.multimodal import decode_png
+
+    for i, p in enumerate(pngs):
+        expect = image_features(decode_png(p)).tolist()
+        assert feats[i] == [float(np.float32(v)) for v in expect]
+
+    meta = {r["asset_id"]: r for r in probe_image_meta(df).collect()}
+    assert all(meta[i]["format"] == "png" and meta[i]["width"] == 8 for i in range(4))

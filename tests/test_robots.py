@@ -31,7 +31,7 @@ def test_round_with_robots(spark, tmp_path):
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
     res = run_crawl(
-        spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1, robots_rules=rules
+        spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1, robots_rules=rules
     )
     assert res[0]["n_robots_blocked"] > 0
     checks = store.checks.read(spark)

@@ -100,7 +100,7 @@ def test_gzip_pages_parsed_and_text_extracted(spark, tmp_path):
     frontier = generate_frontier(spark, pages)
     store = StateStore(str(tmp_path))
     _init(store, frontier)
-    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1)
     checks = store.checks.read(spark)
     gz_checks = checks.where("mime_type = 'application/gzip'")
     assert gz_checks.count() == n_gz
@@ -123,7 +123,7 @@ def test_size_cap_blocks_analysis(spark, tmp_path):
     _init(store, frontier)
     tiny_caps = dict(DEFAULT.max_filesize_allowed)
     tiny_caps["csv"] = 10  # everything is "too large"
-    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000, max_filesize_allowed=tiny_caps), rounds=1)
+    _run(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000, max_filesize_allowed=tiny_caps), rounds=1)
     checks = store.checks.read(spark)
     assert checks.where("parsing_table is not null").count() == 0
     too_big = checks.where("analysis_error like 'File too large%'")

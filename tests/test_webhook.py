@@ -29,7 +29,7 @@ def test_webhook_payload_categories(spark, tmp_path):
     frontier = generate_frontier(spark, pages)
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
-    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1)
 
     checks = {r["resource_id"]: r for r in store.checks.read(spark).collect()}
     outbox = {r["resource_id"]: json.loads(r["payload"])

@@ -88,7 +88,7 @@ def test_crawl_round_parses_xlsx_pages(spark, tmp_path):
     frontier = generate_frontier(spark, pages)
     store = StateStore(str(tmp_path))
     init_state(store, frontier)
-    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+    run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1)
     checks = store.checks.read(spark)
     # parseable = fetchable (2xx) xlsx pages; 404/429/timeout sentinels
     # keep their mime but are rightly not parsed
@@ -116,3 +116,163 @@ def test_crawl_round_parses_xlsx_pages(spark, tmp_path):
     )
     mism = joined.where(F.col("extracted") != F.col("text")).count()
     assert mism == 0 and joined.count() == len(xlsx_checks)
+
+
+def test_xls_codec_roundtrip():
+    """Legacy .xls (BIFF8-in-OLE2) writer/reader twins: strings (latin-1
+    and UTF-16), integers, floats, sheet names, determinism."""
+    from hydra_spark.analysis.xls import XLS_MAGIC, xls_bytes, xls_rows, xls_sheet_names
+
+    rows = [
+        ["name", "count", "price", "note"],
+        ["alpha", 3, 2.5, "héllo"],
+        ["béta", -17, 0.125, "日本語"],
+        ["gamma", 12345678, 3.0, ""],
+    ]
+    data = xls_bytes(rows, sheet_name="Feuille1", extra_sheets=[("Données", [["x"], [1]])])
+    assert data[:8] == XLS_MAGIC
+    assert xls_bytes(rows, sheet_name="Feuille1", extra_sheets=[("Données", [["x"], [1]])]) == data
+    assert xls_sheet_names(data) == ["Feuille1", "Données"]
+    got = xls_rows(data)
+    assert got[0] == rows[0]
+    assert got[1] == ["alpha", "3", "2.5", "héllo"]
+    assert got[2] == ["béta", "-17", "0.125", "日本語"]
+    assert got[3] == ["gamma", "12345678", "3", ""]
+    assert xls_rows(data, sheet_name="Données") == [["x"], ["1"]]
+
+
+def test_xls_rk_and_mulrk_cells():
+    """Hand-built RK/MULRK records (what real writers emit for compact
+    numerics) decode to the same strings as NUMBER records."""
+    import struct
+
+    from hydra_spark.analysis.xls import _parse_sheet, _rec
+
+    def rk_int(v):
+        return ((v << 2) & 0xFFFFFFFC) | 0x02
+
+    rk_double = (struct.unpack("<Q", struct.pack("<d", 2.5))[0] >> 32) & 0xFFFFFFFC
+    stream = (
+        _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        + _rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int(42)))
+        + _rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_int(250) | 0x01))  # /100
+        + _rec(
+            0x00BD,
+            struct.pack("<HH", 1, 0)
+            + struct.pack("<HI", 0, rk_double)
+            + struct.pack("<HI", 0, rk_int(7))
+            + struct.pack("<H", 1),
+        )
+        + _rec(0x000A, b"")
+    )
+    assert _parse_sheet(stream, 0, []) == [["42", "2.5"], ["2.5", "7"]]
+
+
+def test_xlsx_sheet_selection():
+    """Multi-sheet xlsx: workbook-order default + selection by name,
+    like the reference's inspection-driven wb[sheet_name]."""
+    from hydra_spark.analysis.xlsx import xlsx_sheet_names
+
+    data = xlsx_bytes(
+        [["main"], ["1"]],
+        sheet_name="Primary",
+        extra_sheets=[("Annexe", [["other"], ["2"]])],
+    )
+    assert xlsx_sheet_names(data) == ["Primary", "Annexe"]
+    assert xlsx_rows(data) == [["main"], ["1"]]
+    assert xlsx_rows(data, sheet_name="Annexe") == [["other"], ["2"]]
+    try:
+        xlsx_rows(data, sheet_name="nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_xls_ingest_matches_csv_path(spark):
+    """The legacy .xls route produces byte-identical typed rows to the
+    CSV route through the shared inspect/cast pipeline — finishing S7:
+    any .xls resource now flows through the same typed chain."""
+    from hydra_spark.analysis.xls import xls_bytes
+
+    rows = [line.split(",") for line in CSV.split("\n")]
+    xdf = spark.createDataFrame(
+        [("http://x/f.xls", "r1", "d1", bytearray(xls_bytes(rows)), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    cdf = spark.createDataFrame(
+        [("http://x/f.xls", "r1", "d1", bytearray(CSV.encode()), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    got_x = {r["__id"]: r["row_json"] for r in analyse_excel_batch(xdf).collect()}
+    got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
+    assert got_x == got_c and len(got_x) == 3
+    assert '"number": 3.5' in got_x[3] and '"label": "lyon"' in got_x[3]
+
+
+def test_excel_sheet_name_column_selects_per_resource(spark):
+    """An optional sheet_name column picks the sheet per resource (the
+    reference reads inspection["sheet_name"] — utils/reader.py:36,41)."""
+    from hydra_spark.analysis.xls import xls_bytes
+
+    multi_xlsx = xlsx_bytes(
+        [["skip"], ["0"]], sheet_name="Cover",
+        extra_sheets=[("Data", [["a", "b"], ["1", "x"], ["2", "y"]])],
+    )
+    multi_xls = xls_bytes(
+        [["skip"], ["0"]], sheet_name="Cover",
+        extra_sheets=[("Data", [["a", "b"], ["3", "z"], ["4", "w"]])],
+    )
+    df = spark.createDataFrame(
+        [
+            ("http://x/a.xlsx", "r1", "d1", bytearray(multi_xlsx), "t1", "Data"),
+            ("http://x/b.xls", "r2", "d1", bytearray(multi_xls), "t2", "Data"),
+            ("http://x/c.xlsx", "r3", "d1", bytearray(multi_xlsx), "t3", None),
+        ],
+        "url string, resource_id string, dataset_id string, html binary, "
+        "parsing_table string, sheet_name string",
+    )
+    got = analyse_excel_batch(df).collect()
+    by_table = {}
+    for r in got:
+        by_table.setdefault(r["parsing_table"], []).append(r["row_json"])
+    assert len(by_table["t1"]) == 2 and '"a": 1' in by_table["t1"][0]
+    assert len(by_table["t2"]) == 2 and '"a": 3' in by_table["t2"][0]
+    assert len(by_table["t3"]) == 1  # default first sheet = Cover
+
+
+def test_crawl_round_parses_xls_pages(spark, tmp_path):
+    """End-to-end: legacy .xls pages in the corpus are magic-sniffed to
+    the xls mime, parsed into typed rows through the same chain, and
+    their extracted text equals the reference text."""
+    from hydra_spark.analysis.xls import XLS_MIME
+
+    pages = generate_pages(spark, 4000, n_hosts=10).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    run_crawl(
+        spark, store, pages,
+        DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000), rounds=1,
+    )
+    checks = store.checks.read(spark)
+    xls_checks = checks.where(
+        (F.col("mime_type") == XLS_MIME) & (F.col("status") == 200)
+    ).collect()
+    assert xls_checks, "corpus should contain fetchable .xls pages"
+    for r in xls_checks:
+        assert r["parsing_table"] is not None and r["parsing_error"] is None
+
+    parsed = store.parsed_rows.read(spark)
+    n_rows = (
+        parsed.where(F.col("parsing_table").isin([r["parsing_table"] for r in xls_checks]))
+        .where(F.col("row_json").isNotNull())
+        .count()
+    )
+    assert n_rows == 20 * len(xls_checks)
+
+    texts = store.texts.read(spark).select("url", F.col("text").alias("extracted"))
+    joined = texts.join(pages.select("url", "text"), "url").where(
+        F.col("url").isin([r["url"] for r in xls_checks])
+    )
+    assert joined.where(F.col("extracted") != F.col("text")).count() == 0
+    assert joined.count() == len(xls_checks)
