@@ -166,6 +166,9 @@ def main() -> None:
         "sf": sf if mode == "full" else sf_crawl,
         "crawl": {
             "sf_crawl": sf_crawl,
+            # per-round per-stage wall seconds (run_round's _mark points)
+            # — the attribution record for cross-round regressions
+            "stage_timings": [r["timings"] for r in res],
             "n_urls_checked": n_checked,
             "rounds": rounds,
             "batch_size": batch,

@@ -62,6 +62,11 @@ class HydraConfig:
     heavy_host_threshold: int = 10_000    # rows per host before salting
     bloom_fpp: float = 0.01
     bloom_shards: int = 64
+    # stage toggles (bench attribution + deployments without the udata
+    # webhook): outbox payload writes and the validate-then-detect
+    # inspection-reuse join can be switched off independently
+    webhook_outbox: bool = True
+    validate_then_detect: bool = True
 
     def with_(self, **kw) -> "HydraConfig":
         return replace(self, **kw)

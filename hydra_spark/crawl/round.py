@@ -187,7 +187,7 @@ def run_round(
     to_process = cur.where(
         F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
     ).select("url", "resource_id", "dataset_id", "html", "parsing_table")
-    if store.tables_index.exists():
+    if cfg.validate_then_detect and store.tables_index.exists():
         # validate-then-detect fast path: hand each file its latest
         # previous inspection (csv_like/__init__.py:41-50)
         wt = Window.partitionBy("parsing_table").orderBy(F.desc("created_at"))
@@ -243,7 +243,8 @@ def run_round(
     ]
     checks_batch = cur.select(*check_cols)
     # udata webhook outbox (S16): payloads for changed checks
-    store.outbox.append(webhook_payloads(cur, now), round_id=round_id)
+    if cfg.webhook_outbox:
+        store.outbox.append(webhook_payloads(cur, now), round_id=round_id)
     if robots_blocked is not None:
         rb = _robots_checks(robots_blocked, round_id, now, cfg)
         rb_have = set(rb.columns)

@@ -196,7 +196,18 @@ def ivf_build_index(
     cents = ivf_train_centroids(corpus, n_clusters, vec_col, seed=seed)
     assigned = ivf_assign(corpus, cents, vec_col).select(id_col, vec_col, "cluster")
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    np.save(f"{path}/_centroids.npy", cents)
+    # centroid sidecar written THROUGH Spark so the index works on any
+    # supported filesystem (s3://, hdfs://, ...), not just local paths;
+    # the underscore prefix keeps directory-level parquet readers from
+    # picking it up as data
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)]
+    (
+        spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_centroids")
+    )
     return cents
 
 
@@ -215,7 +226,11 @@ def ivf_topk_indexed(
     one numpy matmul — so the corpus scan carries a LITERAL cluster IN
     (...) predicate that prunes partitions at plan time. Per-query
     routing then joins on `cluster` as in ivf_topk."""
-    cents = np.load(f"{path}/_centroids.npy")
+    cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
+    cents = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cluster"])],
+        dtype=np.float64,
+    )
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     q_rows = queries.select(query_id_col, vec_col).collect()  # query set: small by contract
     if not q_rows:

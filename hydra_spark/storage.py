@@ -175,7 +175,13 @@ class AppendLog:
         bid = max((b["id"] for b in m["batches"]), default=0) + 1
         bdir = os.path.join(self.dir, f"batch-{bid:06d}")
         df.write.mode("overwrite").parquet(bdir)  # BEFORE touching the manifest
-        m["batches"] = [{"id": bid, "round": None, "ts": time.time(), "path": bdir, "meta": meta or {}}]
+        now = time.time()
+        # superseded dirs stay on disk for open readers, tracked with the
+        # supersede timestamp so gc() can age-gate on it
+        m["superseded"] = m.get("superseded", []) + [
+            {**b, "superseded_ts": now} for b in m["batches"]
+        ]
+        m["batches"] = [{"id": bid, "round": None, "ts": now, "path": bdir, "meta": meta or {}}]
         _write_manifest(self.manifest_path, m)
         return bid
 
@@ -193,6 +199,27 @@ class AppendLog:
         for b in orphan:
             shutil.rmtree(b["path"], ignore_errors=True)
         return len(orphan)
+
+    def gc(self, min_age_s: float = 3600.0) -> int:
+        """Remove batch dirs superseded by rewrite()/delta compaction.
+        `min_age_s` gates on the SUPERSEDE time (recorded in the
+        manifest), protecting still-open readers whose lazy plans scan
+        the old dirs — pass 0 when no concurrent readers exist (e.g.
+        single-driver maintenance). Without this pass, repeated
+        retention/compaction runs grow the store unboundedly. Returns
+        the number of dirs removed."""
+        m = self.manifest()
+        cutoff = time.time() - min_age_s
+        live = {b["path"] for b in m["batches"]}
+        dead, kept = [], []
+        for b in m.get("superseded", []):
+            (dead if b.get("superseded_ts", 0) <= cutoff and b["path"] not in live else kept).append(b)
+        if dead:
+            m["superseded"] = kept
+            _write_manifest(self.manifest_path, m)
+            for b in dead:
+                shutil.rmtree(b["path"], ignore_errors=True)
+        return len(dead)
 
 
 class FilteredLog:
@@ -241,10 +268,19 @@ class FrontierTable:
         pending deltas — the caller's df was produced from read(), so
         delta effects are already folded in."""
         sid = self.base.commit(df, round_id=round_id, meta=meta)
+        self._clear_deltas()
+        return sid
+
+    def _clear_deltas(self) -> None:
+        """Empty the delta manifest, moving its batch dirs to the
+        superseded list (left on disk for open readers; gc() collects)."""
         m = self.deltas.manifest()
+        now = time.time()
+        m["superseded"] = m.get("superseded", []) + [
+            {**b, "superseded_ts": now} for b in m["batches"]
+        ]
         m["batches"] = []
         _write_manifest(self.deltas.manifest_path, m)
-        return sid
 
     def manifest(self) -> dict:
         return self.base.manifest()
@@ -304,12 +340,15 @@ class FrontierTable:
         priority values)."""
         merged = self.read(spark)
         self.base.commit(merged, round_id=round_id, meta={"op": "compact"})
-        m = self.deltas.manifest()
-        m["batches"] = []
-        _write_manifest(self.deltas.manifest_path, m)
+        self._clear_deltas()
 
     def prune_after_round(self, last_round: int) -> int:
         return self.base.prune_after_round(last_round) + self.deltas.prune_after_round(last_round)
+
+    def gc(self, min_age_s: float = 3600.0) -> int:
+        """Collect delta dirs orphaned by compact()/commit() clearing the
+        delta manifest (the dirs themselves are left for open readers)."""
+        return self.deltas.gc(min_age_s)
 
 
 @dataclass
@@ -356,6 +395,15 @@ class StateStore:
         for snap in (self.domain_state, self.seen):
             dropped += snap.prune_after_round(last)
         return dropped
+
+    def gc(self, min_age_s: float = 3600.0) -> int:
+        """Store-wide garbage collection of superseded batch dirs (run
+        from maintenance, not per round). Age-gated — see AppendLog.gc."""
+        removed = 0
+        for log in (self.checks, self.tables_index, self.outputs, self.outbox, self.metrics):
+            removed += log.gc(min_age_s)
+        removed += self.frontier.gc(min_age_s)
+        return removed
 
     def commit_round(self, round_id: int, meta: dict | None = None) -> None:
         m = _read_manifest(self._rounds_path) or {"last_round": 0, "rounds": []}

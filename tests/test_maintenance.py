@@ -227,3 +227,42 @@ def test_snapshot_expiry_and_time_travel(spark, tmp_path):
     t.rollback_to(4)
     t.expire_snapshots(keep=1)
     assert t.read(spark).first()["v"] == 3  # snapshot 4 kept as current
+
+
+def test_gc_collects_superseded_batch_dirs(spark, tmp_path):
+    """rewrite()/compaction leave old batch dirs for open readers; gc()
+    collects them (age-gated on supersede time) and readers still see
+    identical data afterwards."""
+    import os
+
+    pages = generate_pages(spark, 600, n_hosts=6).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    cfg = DEFAULT.with_(batch_size=150, compact_every_rounds=1)
+    run_crawl(spark, store, pages, cfg, rounds=3)
+
+    def batch_dirs(log):
+        return {n for n in os.listdir(log.dir) if n.startswith("batch-")}
+
+    # retention rewrite supersedes the per-round checks batches
+    purge_checks_keep_last_n(spark, store, 1, gc_min_age_s=10**9)  # gated: nothing gc'd yet
+    assert len(store.checks.manifest().get("superseded", [])) >= 3
+    on_disk_before = batch_dirs(store.checks)
+    live = {os.path.basename(b["path"]) for b in store.checks.manifest()["batches"]}
+    assert live < on_disk_before  # superseded dirs still on disk
+
+    before_rows = store.checks.read(spark).count()
+    removed = store.gc(min_age_s=0)
+    assert removed >= 3
+    assert batch_dirs(store.checks) == live  # only live dirs remain
+    assert store.checks.manifest().get("superseded", []) == []
+    assert store.checks.read(spark).count() == before_rows  # readers unaffected
+
+    # frontier delta compaction dirs were superseded + collected too
+    assert batch_dirs(store.frontier.deltas) == {
+        os.path.basename(b["path"]) for b in store.frontier.deltas.manifest()["batches"]
+    }
+
+    # a second gc is a no-op
+    assert store.gc(min_age_s=0) == 0
