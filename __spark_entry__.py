@@ -641,6 +641,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("row_json", "$.ratio").cast("double").alias("ratio"),
         )
 
+    def q_xls_parse(spark, sf):  # S7: stdlib BIFF8 (.xls) decode → typed ingest
+        # same id grammar as xlsx_parse but through the OLE2/BIFF codec
+        # (hydra_spark/analysis/xls.py) — the oracle replays the grammar
+        from hydra_spark.analysis.excel import analyse_excel_batch
+        from hydra_spark.analysis.xls import xls_bytes
+
+        payloads = [
+            (
+                f"https://files.example.com/wb{i}.xls", f"r{i}", "d1",
+                bytearray(xls_bytes(
+                    [["code", "label", "ratio"]]
+                    + [[i * 100 + j, f"item_{j}", j + 0.5] for j in range(1, 5)]
+                )),
+                f"tbl{i}",
+            )
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            payloads,
+            "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+        )
+        parsed = analyse_excel_batch(df).where(F.col("row_json").isNotNull())
+        return parsed.select(
+            "url", "__id",
+            F.get_json_object("row_json", "$.code").cast("int").alias("code"),
+            F.get_json_object("row_json", "$.label").alias("label"),
+            F.get_json_object("row_json", "$.ratio").cast("double").alias("ratio"),
+        )
+
+    def q_image_meta(spark, sf):  # multimodal header probe over REAL PNG bytes
+        # Spark side ENCODES a real PNG per asset (dims a pure function of
+        # the id) and parses it back via probe_image_meta — the oracle
+        # replays the dimension arithmetic, so a probe bug (not just an
+        # encode bug) breaks the match
+        from hydra_spark.ml.multimodal import probe_image_meta
+
+        def gen(batches):
+            import struct
+            import zlib
+
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = []
+                for aid in pdf["asset_id"]:
+                    w, h = 4 + int(aid) % 13, 3 + int(aid) % 7
+                    color = [0, 2, 6][int(aid) % 3]  # gray / rgb / rgba
+                    nch = {0: 1, 2: 3, 6: 4}[color]
+                    raw = b"".join(
+                        b"\x00" + bytes(((x + y + int(aid)) % 251 for x in range(w * nch)))
+                        for y in range(h)
+                    )
+
+                    def chunk(t, d):
+                        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+                    payloads.append(
+                        b"\x89PNG\r\n\x1a\n"
+                        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+                        + chunk(b"IDAT", zlib.compress(raw))
+                        + chunk(b"IEND", b"")
+                    )
+                yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+        assets = spark.range(200).selectExpr("id as asset_id").mapInPandas(
+            gen, schema="asset_id long, payload binary"
+        )
+        return probe_image_meta(assets)
+
     def q_csv_inspect(spark, sf):  # S6/A9: dialect + header-position detection
         from hydra_spark.analysis.ingest import analyse_csv_batch
 
@@ -767,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_upsert": q_catalog_upsert,
         "parquet_export_roundtrip": q_parquet_export_roundtrip,
         "xlsx_parse": q_xlsx_parse,
+        "xls_parse": q_xls_parse,
+        "image_meta": q_image_meta,
         "csv_inspect": q_csv_inspect,
         "ogc_metadata": q_ogc_metadata,
         "queue_depth": q_queue_depth,
@@ -1044,6 +1115,23 @@ def oracle_sql() -> dict[str, str]:
                    'item_' || CAST(j AS VARCHAR) AS label,
                    CAST(j + 0.5 AS DOUBLE) AS ratio
             FROM range(50) t(i), range(1, 5) u(j)
+        """,
+        "xls_parse": """
+            SELECT 'https://files.example.com/wb' || CAST(i AS VARCHAR) || '.xls' AS url,
+                   j AS __id,
+                   CAST(i * 100 + j AS INT) AS code,
+                   'item_' || CAST(j AS VARCHAR) AS label,
+                   CAST(j + 0.5 AS DOUBLE) AS ratio
+            FROM range(50) t(i), range(1, 5) u(j)
+        """,
+        "image_meta": """
+            SELECT i AS asset_id,
+                   'png' AS format,
+                   CAST(4 + i % 13 AS INT) AS width,
+                   CAST(3 + i % 7 AS INT) AS height,
+                   CAST([1, 3, 4][i % 3 + 1] AS INT) AS channels,
+                   CAST(8 AS INT) AS bit_depth
+            FROM range(200) t(i)
         """,
         "csv_inspect": """
             SELECT 'https://files.example.com/t' || CAST(i AS VARCHAR) || '.csv' AS url,

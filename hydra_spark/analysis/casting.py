@@ -31,31 +31,134 @@ _FLOAT_SPECIAL = {"nan", "inf", "-inf", "+inf", "infinity", "-infinity"}
 # detection priority: most → least specific
 TYPE_ORDER = ["bool", "int", "float", "date", "datetime", "datetime_aware", "json", "string"]
 
-# csv-detective-style FORMATS that refine a string python_type (the
-# reference's richer format vocabulary — siret is the one its fixtures
-# exercise; extend here as corpora demand)
+# csv-detective-style FORMATS that refine a python_type (the reference
+# consumes these from the inspection: geo formats drive the GeoJSON
+# export's column detection — data_formats/csv_like/to_geojson.py:25-52
+# — and siret/code_postal drive table indexes via resources_exceptions).
+# Value regexes; formats whose regex is ambiguous on values alone
+# (insee vs postal, region, lonlat vs latlon, latitude/longitude vs any
+# float) additionally need a HEADER-NAME hint, csv-detective's header
+# scoring simplified to unanimity + hint.
 FORMAT_CHECKS = {
     "siret": re.compile(r"^\d{14}$"),
     "siren": re.compile(r"^\d{9}$"),
+    "code_commune_insee": re.compile(r"^(\d{2}|2[AB])\d{3}$"),
+    "code_postal": re.compile(r"^\d{5}$"),
+    "code_departement": re.compile(r"^(0[1-9]|[1-8]\d|9[0-5]|2[AB]|97[1-6])$"),
+    "code_region": re.compile(r"^(\d{2}|0[1-9])$"),
+    "email": re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"),
+    "url": re.compile(r"^https?://\S+$"),
+    "latlon": re.compile(
+        r"^[\[(]?\s*[+-]?\d{1,3}(\.\d+)?\s*,\s*[+-]?\d{1,3}(\.\d+)?\s*[\])]?$"
+    ),
+    "lonlat": re.compile(
+        r"^[\[(]?\s*[+-]?\d{1,3}(\.\d+)?\s*,\s*[+-]?\d{1,3}(\.\d+)?\s*[\])]?$"
+    ),
+    "latitude": re.compile(r"^[+-]?\d{1,2}(\.\d+)?$"),
+    "longitude": re.compile(r"^[+-]?\d{1,3}(\.\d+)?$"),
+    "geojson": re.compile(r"^\s*\{.*\}\s*$", re.S),
+}
+
+_GEOM_TYPES = {
+    "Point", "MultiPoint", "LineString", "MultiLineString",
+    "Polygon", "MultiPolygon", "GeometryCollection",
 }
 
 
-def detect_column_format(values: list[str | None]) -> tuple[str, str] | None:
-    """(format, python_type) when a refined string format matches every
-    non-empty value; None otherwise. siret/siren win over the numeric
-    python types (csv-detective scores them higher)."""
-    for fmt, rx in FORMAT_CHECKS.items():
+def _pair(s: str) -> tuple[float, float] | None:
+    try:
+        a, b = s.strip().strip("[]()").split(",")
+        return float(a), float(b)
+    except ValueError:
+        return None
+
+
+def _valid_latlon(s: str) -> bool:
+    p = _pair(s)
+    return p is not None and -90 <= p[0] <= 90 and -180 <= p[1] <= 180
+
+
+def _valid_lonlat(s: str) -> bool:
+    p = _pair(s)
+    return p is not None and -180 <= p[0] <= 180 and -90 <= p[1] <= 90
+
+
+def _valid_geojson(s: str) -> bool:
+    try:
+        g = json.loads(s)
+    except ValueError:
+        return False
+    return isinstance(g, dict) and g.get("type") in _GEOM_TYPES
+
+
+# extra per-value validation beyond the regex
+FORMAT_VALIDATORS = {
+    "latlon": _valid_latlon,
+    "lonlat": _valid_lonlat,
+    "latitude": lambda s: -90 <= float(s) <= 90,
+    "longitude": lambda s: -180 <= float(s) <= 180,
+    "geojson": _valid_geojson,
+}
+
+# header substrings that unlock hint-gated formats
+FORMAT_NAME_HINTS = {
+    "code_commune_insee": ("insee", "commune"),
+    "code_postal": ("postal", "cp", "code_post"),
+    "code_departement": ("dep", "departement"),
+    "code_region": ("region", "reg"),
+    "lonlat": ("lonlat", "longlat"),
+    "latitude": ("lat", "y"),
+    "longitude": ("lon", "lng", "long", "x"),
+}
+
+# detection priority, most → least specific (first full match wins)
+FORMAT_PRIORITY = [
+    "siret", "siren", "code_commune_insee", "code_postal",
+    "code_departement", "code_region", "geojson", "lonlat", "latlon",
+    "latitude", "longitude", "email", "url",
+]
+
+# python_type a detected format refines (everything else → string)
+FORMAT_PYTHON_TYPE = {"latitude": "float", "longitude": "float"}
+
+
+def format_matches(fmt: str, value: str) -> bool:
+    """Single-value check used both in detection and in validate-drift
+    (inspect.validate_inspection): regex + optional range validator."""
+    rx = FORMAT_CHECKS.get(fmt)
+    if rx is None or not rx.match(value):
+        return False
+    v = FORMAT_VALIDATORS.get(fmt)
+    try:
+        return v is None or bool(v(value))
+    except ValueError:
+        return False
+
+
+def detect_column_format(
+    values: list[str | None], name: str | None = None
+) -> tuple[str, str] | None:
+    """(format, python_type) when a refined format matches every
+    non-empty value; None otherwise. Hint-gated formats need the column
+    header to carry one of their tokens (csv-detective's header scoring,
+    simplified); the rest detect on values alone."""
+    low = (name or "").lower()
+    toks = set(re.split(r"[^a-z0-9]+", low))
+    for fmt in FORMAT_PRIORITY:
+        hints = FORMAT_NAME_HINTS.get(fmt)
+        if hints is not None and not any(h in toks or (len(h) > 2 and h in low) for h in hints):
+            continue
         seen = False
         ok = True
         for v in values:
             if v is None or str(v).strip() == "":
                 continue
             seen = True
-            if not rx.match(str(v).strip()):
+            if not format_matches(fmt, str(v).strip()):
                 ok = False
                 break
         if seen and ok:
-            return fmt, "string"
+            return fmt, FORMAT_PYTHON_TYPE.get(fmt, "string")
     return None
 
 

@@ -31,6 +31,7 @@ import math
 from hydra_spark.analysis.casting import (
     FORMAT_CHECKS,
     detect_column_format,
+    format_matches,
     detect_column_type,
     smart_cast_cell,
 )
@@ -137,15 +138,16 @@ def validate_inspection(data: bytes, prev: dict) -> dict | None:
     for j, name in enumerate(prev["header"]):
         col = prev["columns"][name]
         t = col["python_type"]
-        fmt_rx = FORMAT_CHECKS.get(col.get("format"))
+        refined = col.get("format") in FORMAT_CHECKS
         values = [r[j] if j < len(r) else None for r in body]
         for v in values:
             if v is None or str(v).strip() == "":
                 continue
-            if fmt_rx is not None:
-                # refined format (e.g. siret) must still match — this is
-                # what invalidates format drift like siret → date
-                if not fmt_rx.match(str(v).strip()):
+            if refined:
+                # refined format (e.g. siret, latitude) must still match
+                # — regex + range validator; this is what invalidates
+                # format drift like siret → date
+                if not format_matches(col["format"], str(v).strip()):
                     return None
                 continue
             try:
@@ -218,7 +220,7 @@ def inspect_csv(data: bytes) -> dict:
     cols = {}
     for j, name in enumerate(header):
         values = [r[j] if j < len(r) else None for r in body]
-        refined = detect_column_format(values)
+        refined = detect_column_format(values, name)
         if refined is not None:
             fmt, t = refined
             cols[name] = {"format": fmt, "python_type": t, "score": 1.5}

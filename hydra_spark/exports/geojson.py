@@ -27,8 +27,27 @@ LONLAT_NAMES = {"lonlat", "longlat"}
 GEOJSON_NAMES = {"geojson", "geom", "geometry", "geo_shape"}
 
 
-def detect_geo_columns(columns: list[str]) -> dict | None:
-    """C13 priority: geojson > latlon > lonlat > (lat, lon)."""
+def detect_geo_columns(columns: list[str], inspection: dict | None = None) -> dict | None:
+    """C13 priority: geojson > latlon > lonlat > (lat, lon).
+
+    When an inspection is given, its CONTENT-detected formats win (the
+    reference reads csv-detective's per-column geo formats, not header
+    names — csv_like/to_geojson.py:25-52), so a latitude column named
+    "y" is still found; header names remain the fallback."""
+    if inspection is not None:
+        fmts = inspection.get("formats", {})
+        if fmts.get("geojson"):
+            return {"kind": "geojson", "col": fmts["geojson"][0]}
+        if fmts.get("latlon"):
+            return {"kind": "latlon", "col": fmts["latlon"][0]}
+        if fmts.get("lonlat"):
+            return {"kind": "lonlat", "col": fmts["lonlat"][0]}
+        if fmts.get("latitude") and fmts.get("longitude"):
+            return {
+                "kind": "latlon_pair",
+                "lat": fmts["latitude"][0],
+                "lon": fmts["longitude"][0],
+            }
     low = {c.lower(): c for c in columns}
     for n in GEOJSON_NAMES:
         if n in low:

@@ -61,7 +61,13 @@ def test_parsed_table_typed_roundtrip(spark, crawled):
     lines = page_text.splitlines()
     header = lines[0].split(",")
     first = dict(zip(header, lines[1].split(",")))
-    assert recs[0]["code_insee"] == int(first["code_insee"])
+    # code_insee types per page: string when every value is a valid
+    # 5-char INSEE code (csv-detective's code_commune_insee format —
+    # leading zeros / 2A-2B make it a string), int otherwise
+    if insp["columns"]["code_insee"]["python_type"] == "string":
+        assert recs[0]["code_insee"] == first["code_insee"]
+    else:
+        assert recs[0]["code_insee"] == int(first["code_insee"])
     assert recs[0]["number"] == int(first["number"])
     assert recs[0]["label"] == first["label"]
 

@@ -64,3 +64,60 @@ def test_round_uses_validation_on_recheck(spark, tmp_path):
     insp = json.loads(out["inspection"])
     assert insp.get("from_validation") is True
     assert insp["total_lines"] == 3
+
+
+def test_format_vocabulary_breadth():
+    """csv-detective's wider format family: codes, contact, geo —
+    content-detected, with header hints gating the ambiguous ones."""
+    from hydra_spark.analysis.casting import detect_column_format
+
+    # value-only formats
+    assert detect_column_format(["12345678901234", "98765432109876"]) == ("siret", "string")
+    assert detect_column_format(["a@b.fr", "x.y@z.org"]) == ("email", "string")
+    assert detect_column_format(["https://a.fr/x", "http://b.fr"]) == ("url", "string")
+    assert detect_column_format(["48.85, 2.35", "[43.6, 1.44]"]) == ("latlon", "string")
+    assert detect_column_format(['{"type": "Point", "coordinates": [1, 2]}']) == (
+        "geojson", "string",
+    )
+    # hint-gated: postal/insee both ^\d{5}$ — the header disambiguates
+    assert detect_column_format(["75056", "2A004"], "code_insee") == (
+        "code_commune_insee", "string",
+    )
+    assert detect_column_format(["75001", "13002"], "code_postal") == ("code_postal", "string")
+    assert detect_column_format(["75001"], "montant") is None  # no hint, no claim
+    # latitude/longitude: hint + range; python_type stays float
+    assert detect_column_format(["48.85", "43.6"], "lat") == ("latitude", "float")
+    assert detect_column_format(["2.35", "-1.55"], "longitude") == ("longitude", "float")
+    assert detect_column_format(["148.85"], "lat") is None  # out of range
+    # range validators kill regex-only matches
+    assert detect_column_format(["98.0, 2.0"], "latlon") is None
+
+
+def test_geo_detection_from_inspection():
+    """Content-detected geo formats drive the export like the reference
+    (csv_like/to_geojson.py:25-52): a latitude column named 'y' is
+    found via the inspection, not the header list."""
+    from hydra_spark.exports.geojson import detect_geo_columns
+
+    body = "name,y,x\na,48.85,2.35\nb,43.6,1.44"
+    insp = inspect_csv(body.encode())
+    assert insp["columns"]["y"]["format"] == "latitude"
+    assert insp["columns"]["x"]["format"] == "longitude"
+    geo = detect_geo_columns(insp["header"], insp)
+    assert geo == {"kind": "latlon_pair", "lat": "y", "lon": "x"}
+    # inspection wins over names; without it, names alone find nothing
+    assert detect_geo_columns(["name", "y", "x"]) is None
+    # geojson format beats the pair
+    gj = '"{""type"": ""Point"", ""coordinates"": [1.0, 2.0]}"'
+    body2 = f"name,geom,y,x\na,{gj},48.85,2.35"
+    insp2 = inspect_csv(body2.encode())
+    assert detect_geo_columns(insp2["header"], insp2)["kind"] == "geojson"
+
+
+def test_format_drift_invalidates_latitude():
+    """A previously-latitude column drifting out of range re-detects."""
+    body = "name,lat\na,48.85\nb,43.6"
+    prev = inspect_csv(body.encode())
+    assert prev["columns"]["lat"]["format"] == "latitude"
+    drifted = "name,lat\na,148.85\nb,43.6"
+    assert validate_inspection(drifted.encode(), prev) is None
