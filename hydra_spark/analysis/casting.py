@@ -148,15 +148,30 @@ def detect_column_format(
         hints = FORMAT_NAME_HINTS.get(fmt)
         if hints is not None and not any(h in toks or (len(h) > 2 and h in low) for h in hints):
             continue
+        # hoisted out of the value loop: this runs per column of every
+        # inspected page in the crawl's hot python pass
+        rx = FORMAT_CHECKS[fmt]
+        validator = FORMAT_VALIDATORS.get(fmt)
         seen = False
         ok = True
         for v in values:
-            if v is None or str(v).strip() == "":
+            if v is None:
+                continue
+            s = str(v).strip()
+            if not s:
                 continue
             seen = True
-            if not format_matches(fmt, str(v).strip()):
+            if not rx.match(s):
                 ok = False
                 break
+            if validator is not None:
+                try:
+                    if not validator(s):
+                        ok = False
+                        break
+                except ValueError:
+                    ok = False
+                    break
         if seen and ok:
             return fmt, FORMAT_PYTHON_TYPE.get(fmt, "string")
     return None

@@ -5,13 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched `mapInPandas` stages.
 
 Decode status:
-- PNG (8-bit, non-interlaced; gray/gray+alpha/RGB/RGBA/palette) and
-  uncompressed BMP (24/32-bit BI_RGB) decode to real pixel arrays with
-  the stdlib alone (zlib + struct) — no PIL needed.
+- PNG (8-bit, non-interlaced; gray/gray+alpha/RGB/RGBA/palette),
+  uncompressed BMP (24/32-bit BI_RGB) and GIF (LZW, first frame,
+  incl. interlace) decode to real pixel arrays with the stdlib alone
+  (zlib + struct) — no PIL needed.
 - PNG/GIF/BMP headers parse to (width, height, channels) metadata
   without decoding pixels (`parse_image_header` / `probe_image_meta`).
-- JPEG/GIF pixels, audio and video codecs still need external
-  libraries (PIL/ffmpeg, absent in this container): those raise
+- JPEG pixels, audio and video codecs still need external libraries
+  (PIL/ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
   deterministic byte-histogram "feature" is produced — the Spark-side
   plumbing (schema, partitioning, UDF signatures, batch shapes) is
@@ -177,6 +178,107 @@ def decode_png(payload: bytes) -> np.ndarray:
     return pixels
 
 
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Stdlib GIF decode → (H, W, 3) uint8: LZW-decompress the first
+    image descriptor, map through the active (local > global) color
+    table, deinterlace when flagged. Scope: first frame only —
+    animation frames / transparency compositing need a real codec."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p):
+        while b[p] != 0:
+            p += b[p] + 1
+        return p + 1
+
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension: skip label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif marker == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 ** ((iflags & 0x07) + 1)
+                table = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+
+            # LZW over a little-endian bitstream with variable code width
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            dictionary = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+            acc = nbits = 0
+            out: list[int] = []
+            prev: tuple | None = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        dictionary = {i: (i,) for i in range(clear)}
+                        next_code = eoi + 1
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nbits = 0
+                        acc = 0
+                        break
+                    if prev is None:
+                        entry = dictionary[code]
+                    elif code in dictionary:
+                        entry = dictionary[code]
+                        dictionary[next_code] = prev + (entry[0],)
+                        next_code += 1
+                    else:  # KwKwK case
+                        entry = prev + (prev[0],)
+                        dictionary[next_code] = entry
+                        next_code += 1
+                    out.extend(entry)
+                    prev = entry
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+            idx = np.array(out[: w * h], dtype=np.intp).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            return table[idx]
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise ValueError("GIF has no image descriptor")
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed BI_RGB 24/32-bit BMP → (H, W, C) uint8 in RGB(A)
     order, honoring bottom-up vs top-down row order and 4-byte row
@@ -225,9 +327,11 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_png(payload)
     if hdr is not None and hdr["format"] == "bmp":
         return decode_bmp(payload)
+    if hdr is not None and hdr["format"] == "gif":
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG/BMP decode with the stdlib; other formats need an image "
-        "library (PIL/libvips) — run with fake=True for the stand-in"
+        "only PNG/BMP/GIF decode with the stdlib; other formats need an "
+        "image library (PIL/libvips) — run with fake=True for the stand-in"
     )
 
 

@@ -40,10 +40,15 @@ from pyspark.sql import functions as F
 
 cpus, n, repeats = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 gb_per_core = int(os.environ.get("HYDRA_SCALE_GB_PER_CORE", "4"))
+# per-core heap, CAPPED well under the box's 128 GiB: an uncapped
+# 32-core level would claim a 128 g heap and thrash the page cache the
+# shuffle dirs + parquet writes live in (measured: 32 cores at 128 g is
+# SLOWER than 8 cores at 32 g)
+heap_gb = min(gb_per_core * cpus, int(os.environ.get("HYDRA_SCALE_MAX_GB", "48")))
 spark = get_spark(cores=cpus, shuffle_partitions=cpus * 2, app=f"scale{cpus}",
                   extra={"spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
                          "spark.local.dir": "/dev/shm/spark-local",
-                         "spark.driver.memory": f"{gb_per_core * cpus}g",
+                         "spark.driver.memory": f"{heap_gb}g",
                          "spark.driver.extraJavaOptions":
                              "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC"})
 # hash-partition by url: the per-round fetch join reuses this

@@ -480,3 +480,135 @@ def test_extract_features_real_png_and_probe_meta(spark):
 
     meta = {r["asset_id"]: r for r in probe_image_meta(df).collect()}
     assert all(meta[i]["format"] == "png" and meta[i]["width"] == 8 for i in range(4))
+
+
+def _encode_gif(idx, palette, interlaced=False):
+    """Tiny GIF89a encoder for tests: degenerate LZW (a CLEAR before
+    every literal keeps the code width fixed) — valid per the spec and
+    decodable by any conformant reader."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    n = len(palette)
+    depth = max((n - 1).bit_length(), 1)
+    pal = np.zeros((2 ** depth, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+    min_code = max(depth, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    rows = idx
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    codes = []
+    for v in rows.reshape(-1):
+        codes += [clear, int(v)]
+    codes.append(eoi)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + bytes(block)
+    return out + b"\x00\x3b"
+
+
+def test_gif_decode_plain_and_interlaced():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_gif, decode_image
+
+    rng = np.random.default_rng(11)
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, size=(9, 5), dtype=np.uint8)
+    assert np.array_equal(decode_gif(_encode_gif(idx, palette)), palette[idx])
+    assert np.array_equal(
+        decode_gif(_encode_gif(idx, palette, interlaced=True)), palette[idx]
+    )
+    # decode_image routes GIF to the real decoder now
+    assert np.array_equal(decode_image(_encode_gif(idx, palette)), palette[idx])
+
+
+def test_gif_decode_real_lzw_stream():
+    """A standard growing-dictionary LZW stream (what real encoders
+    emit) exercises the variable code width + KwKwK decode paths that
+    the degenerate clear-per-literal encoder cannot."""
+    import struct
+
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_gif
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    # repetitive pattern → dictionary growth; runs of equal pixels → KwKwK
+    idx = np.array(
+        [[0, 1, 0, 1, 0, 1, 0, 1]] * 4 + [[1, 1, 1, 1, 1, 1, 1, 1]] * 4,
+        dtype=np.uint8,
+    )
+    h, w = idx.shape
+    min_code = 2
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    # textbook GIF-LZW compressor
+    dictionary = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    codes = [clear]
+    buf: tuple = ()
+    widths = []  # width AT EMISSION time, for the bit packer
+    for v in idx.reshape(-1):
+        cand = buf + (int(v),)
+        if cand in dictionary:
+            buf = cand
+            continue
+        codes.append(dictionary[buf])
+        widths.append(width)
+        dictionary[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width):  # decoder grows at next_code == 2^w
+            width += 1
+        buf = (int(v),)
+    codes.append(dictionary[buf])
+    widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    widths.insert(0, min_code + 1)  # the leading CLEAR
+
+    acc = nbits = 0
+    data = bytearray()
+    for c, cw in zip(codes, widths):
+        acc |= c << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0, 0, 0)  # 2-entry GCT
+        + palette.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code, len(data)]) + bytes(data) + b"\x00\x3b"
+    )
+    assert np.array_equal(decode_gif(gif), palette[idx])
