@@ -710,6 +710,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return probe_image_meta(assets)
 
+    def q_tile_assign(spark, sf):  # S14: slippy/Web-Mercator tiling math
+        # synthetic points from the documents ids (both sides replay the
+        # same arithmetic); offsets keep values off tile boundaries so
+        # floor() can't flip on 1-ulp libm differences
+        from hydra_spark.exports.pmtiles import assign_tiles
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 171 - 85 + 0.123).cast("double").alias("lat"),
+            ((F.col("doc_id") * 7) % 360 - 180 + 0.321).cast("double").alias("lon"),
+        )
+        out = assign_tiles(docs, {"kind": "latlon_pair", "lat": "lat", "lon": "lon"}, [2, 6])
+        return out.select(
+            F.get_json_object("props", "$.doc_id").cast("bigint").alias("doc_id"),
+            "z", "x", "y", "fx", "fy",
+        )
+
     def q_csv_inspect(spark, sf):  # S6/A9: dialect + header-position detection
         from hydra_spark.analysis.ingest import analyse_csv_batch
 
@@ -838,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_parse": q_xlsx_parse,
         "xls_parse": q_xls_parse,
         "image_meta": q_image_meta,
+        "tile_assign": q_tile_assign,
         "csv_inspect": q_csv_inspect,
         "ogc_metadata": q_ogc_metadata,
         "queue_depth": q_queue_depth,
@@ -1123,6 +1141,27 @@ def oracle_sql() -> dict[str, str]:
                    'item_' || CAST(j AS VARCHAR) AS label,
                    CAST(j + 0.5 AS DOUBLE) AS ratio
             FROM range(50) t(i), range(1, 5) u(j)
+        """,
+        "tile_assign": """
+            WITH pts AS (
+              SELECT doc_id,
+                     CAST(doc_id % 171 - 85 + 0.123 AS DOUBLE) AS lat,
+                     CAST((doc_id * 7) % 360 - 180 + 0.321 AS DOUBLE) AS lon
+              FROM documents
+            ), zoomed AS (
+              SELECT doc_id, lat, lon, z, CAST(POW(2, z) AS DOUBLE) AS n,
+                     (lon + 180.0) / 360.0 * CAST(POW(2, z) AS DOUBLE) AS xf,
+                     (1.0 - ln(tan(radians(GREATEST(-85.0511287798, LEAST(85.0511287798, lat))))
+                               + 1.0 / cos(radians(GREATEST(-85.0511287798, LEAST(85.0511287798, lat)))))
+                            / pi()) / 2.0 * CAST(POW(2, z) AS DOUBLE) AS yf
+              FROM pts, (SELECT UNNEST([2, 6]) AS z)
+            )
+            SELECT doc_id, CAST(z AS INT) AS z,
+                   CAST(LEAST(FLOOR(xf), n - 1) AS INT) AS x,
+                   CAST(LEAST(FLOOR(yf), n - 1) AS INT) AS y,
+                   CAST(LEAST(FLOOR((xf - LEAST(FLOOR(xf), n - 1)) * 4096), 4095) AS INT) AS fx,
+                   CAST(LEAST(FLOOR((yf - LEAST(FLOOR(yf), n - 1)) * 4096), 4095) AS INT) AS fy
+            FROM zoomed
         """,
         "image_meta": """
             SELECT i AS asset_id,
