@@ -67,11 +67,11 @@ CHECKS_SCHEMA = T.StructType(
         T.StructField("parsing_finished_at", T.TimestampType(), True),
         T.StructField("parquet_url", T.StringType(), True),
         T.StructField("parquet_size", T.LongType(), True),
-        # pmtiles_* kept for checks-schema parity but ALWAYS NULL: the
-        # reference shells to the external tippecanoe binary
-        # (data_formats/geojson/to_pmtiles.py:16-47), deferred per
-        # SURVEY.md S14 — no binary here, and a reimplementation would
-        # not be Spark work
+        # pmtiles_* filled by exports.pmtiles.export_pmtiles (S14: a
+        # stdlib PMTiles v3 writer over distributed tiling — the
+        # reference shells to tippecanoe instead,
+        # data_formats/geojson/to_pmtiles.py:16-47); NULL for resources
+        # without point geometry, like parquet_url for non-tabular ones
         T.StructField("pmtiles_url", T.StringType(), True),
         T.StructField("pmtiles_size", T.LongType(), True),
         T.StructField("geojson_url", T.StringType(), True),
