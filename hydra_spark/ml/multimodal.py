@@ -9,8 +9,9 @@ Decode status:
   uncompressed BMP (24/32-bit BI_RGB) and GIF (LZW, first frame,
   incl. interlace) decode to real pixel arrays with the stdlib alone
   (zlib + struct) — no PIL needed.
-- PNG/GIF/BMP headers parse to (width, height, channels) metadata
-  without decoding pixels (`parse_image_header` / `probe_image_meta`).
+- PNG/GIF/BMP/JPEG headers parse to (width, height, channels) metadata
+  without decoding pixels (`parse_image_header` / `probe_image_meta` —
+  JPEG via the SOFn frame header).
 - JPEG pixels, audio and video codecs still need external libraries
   (PIL/ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
@@ -101,6 +102,27 @@ def parse_image_header(payload: bytes) -> dict | None:
             "channels": max(bpp // 8, 1),
             "bit_depth": min(bpp, 8),
         }
+    if b[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOFn frame header
+        pos = 2
+        while pos + 9 < len(b):
+            if b[pos] != 0xFF:
+                break
+            marker = b[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+                pos += 2
+                continue
+            ln = struct.unpack_from(">H", b, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                depth = b[pos + 4]
+                h, w = struct.unpack_from(">HH", b, pos + 5)
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "channels": b[pos + 9],
+                    "bit_depth": depth,
+                }
+            pos += 2 + ln
     return None
 
 

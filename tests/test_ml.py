@@ -612,3 +612,27 @@ def test_gif_decode_real_lzw_stream():
         + bytes([min_code, len(data)]) + bytes(data) + b"\x00\x3b"
     )
     assert np.array_equal(decode_gif(gif), palette[idx])
+
+
+def test_jpeg_header_probe():
+    """JPEG dims/channels from the SOFn frame header — probe only, no
+    pixel decode (DCT needs a real codec)."""
+    import struct
+
+    from hydra_spark.ml.multimodal import parse_image_header
+
+    def jpeg(w, h, nch, progressive=False):
+        sof = 0xC2 if progressive else 0xC0
+        out = b"\xff\xd8"  # SOI
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nch))
+        frame = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch]) + comp
+        out += bytes([0xFF, sof]) + struct.pack(">H", 2 + len(frame)) + frame
+        return out + b"\xff\xd9"
+
+    hdr = parse_image_header(jpeg(640, 480, 3))
+    assert hdr == {"format": "jpeg", "width": 640, "height": 480, "channels": 3, "bit_depth": 8}
+    hdr2 = parse_image_header(jpeg(31, 17, 1, progressive=True))
+    assert hdr2["width"] == 31 and hdr2["height"] == 17 and hdr2["channels"] == 1
+    assert parse_image_header(b"\xff\xd8\x00garbage") is None
