@@ -823,6 +823,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
         )
 
+    def q_repetition_stats(spark, sf):  # webtext: Gopher repetition filters
+        from hydra_spark.ml import webtext
+
+        return webtext.repetition_features(_t(spark, sf, "documents"), k=2)
+
+    def q_line_dedup(spark, sf):  # webtext: C4/RefinedWeb corpus-level chunk dedup
+        from hydra_spark.ml import webtext
+
+        return webtext.chunk_dedup_corpus(_t(spark, sf, "documents"), k=4, max_doc_freq=1)
+
+    def q_decontaminate(spark, sf):  # webtext: GPT-3-style n-gram decontamination
+        from hydra_spark.ml import webtext
+
+        docs = _t(spark, sf, "documents")
+        return webtext.decontaminate(
+            docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
+        )
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -874,6 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "crawl_round": q_crawl_round,
         "multimodal_features": q_multimodal_features,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1346,5 +1367,94 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT range,
                          8 * len(regexp_extract_all(md5('42' || CAST(range AS VARCHAR)), '[0-9]')) AS d
                   FROM range(200))
+        """,
+        # --- webtext curation family (ml/webtext.py) ---
+        # chunking twin of webtext.chunk_segments: non-overlapping k-word
+        # chunks over lowercased \s+ tokens; overlapping 2-grams twin of
+        # text.shingles(n=2).
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id, length(text) AS doc_chars,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, doc_chars,
+                     [array_to_string(words[(i-1)*2+1:(i-1)*2+2], ' ')
+                      for i in range(1, CAST(ceil(len(words)/2.0) AS BIGINT)+1)] AS chunks,
+                     CASE WHEN len(words) <= 1 THEN [array_to_string(words, ' ')]
+                          ELSE [array_to_string(words[i:i+1], ' ')
+                                for i in range(1, len(words))] END AS grams
+              FROM w),
+            g AS (SELECT doc_id, unnest(grams) AS gram FROM c),
+            t AS (SELECT doc_id, gram, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY count(*) DESC, gram ASC) AS rn
+                  FROM g GROUP BY 1, 2)
+            SELECT c.doc_id,
+                   len(c.chunks) AS n_chunks,
+                   CAST(round((len(c.chunks) - len(list_distinct(c.chunks)))
+                        / CAST(greatest(len(c.chunks), 1) AS DOUBLE), 6) AS DOUBLE)
+                     AS dup_chunk_frac,
+                   CAST(round((CAST(list_sum(list_transform(c.chunks, x -> length(x))) AS BIGINT)
+                         - CAST(list_sum(list_transform(list_distinct(c.chunks), x -> length(x))) AS BIGINT))
+                        / CAST(greatest(CAST(list_sum(list_transform(c.chunks, x -> length(x))) AS BIGINT), 1) AS DOUBLE), 6) AS DOUBLE)
+                     AS dup_chunk_char_frac,
+                   t.gram AS top_2gram,
+                   CAST(t.cnt AS INT) AS top_2gram_count,
+                   CAST(round(t.cnt * length(t.gram)
+                        / CAST(greatest(c.doc_chars, 1) AS DOUBLE), 6) AS DOUBLE)
+                     AS top_2gram_char_frac
+            FROM c JOIN t ON c.doc_id = t.doc_id AND t.rn = 1
+        """,
+        "line_dedup": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     [array_to_string(words[(i-1)*4+1:(i-1)*4+4], ' ')
+                      for i in range(1, CAST(ceil(len(words)/4.0) AS BIGINT)+1)] AS chunks
+              FROM w),
+            e AS (SELECT doc_id,
+                         unnest([{'chunk': chunks[i], 'pos': i - 1}
+                                 for i in range(1, len(chunks)+1)]) AS u
+                  FROM c),
+            x AS (SELECT doc_id, u.chunk AS chunk, u.pos AS pos FROM e),
+            fr AS (SELECT chunk, count(DISTINCT doc_id) AS df_count FROM x GROUP BY 1),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY chunk
+                                                ORDER BY doc_id, pos) AS rn FROM x),
+            kept AS (SELECT rk.doc_id, rk.pos, rk.chunk
+                     FROM rk JOIN fr USING (chunk)
+                     WHERE fr.df_count <= 1 OR rk.rn = 1),
+            reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_deduped,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY 1)
+            SELECT c.doc_id,
+                   coalesce(reb.text_deduped, '') AS text_deduped,
+                   len(c.chunks) AS n_chunks,
+                   len(c.chunks) - coalesce(reb.n_kept, 0) AS n_removed
+            FROM c LEFT JOIN reb USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(words) <= 3 THEN [array_to_string(words, ' ')]
+                          ELSE [array_to_string(words[i:i+3], ' ')
+                                for i in range(1, len(words)-2)] END AS grams
+              FROM w),
+            bench AS (SELECT DISTINCT unnest(grams) AS gram FROM s WHERE source = 'src0'),
+            dg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+                   FROM s WHERE source <> 'src0'),
+            hits AS (SELECT dg.doc_id, count(*) AS n_hits
+                     FROM dg JOIN bench USING (gram) GROUP BY 1)
+            SELECT s.doc_id,
+                   coalesce(hits.n_hits, 0) AS n_hits,
+                   coalesce(hits.n_hits, 0) > 0 AS is_contaminated
+            FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+            WHERE s.source <> 'src0'
         """,
     }

@@ -1,0 +1,220 @@
+"""Webtext corpus-curation operators — repetition stats, corpus-level
+line dedup, benchmark decontamination.
+
+The reference (datagouv/hydra) stops at per-resource analysis; these are
+the standard curation passes a Common-Crawl-scale training-data pipeline
+runs DOWNSTREAM of the crawl, published in: Rae et al. 2021 (Gopher,
+§A1.1 repetition filters), Raffel et al. 2020 (C4, corpus-level line
+dedup), Penedo et al. 2023 (RefinedWeb, line-wise dedup), Brown et al.
+2020 (GPT-3, appendix C n-gram decontamination).
+
+Scale notes (100 TB design points):
+
+- ``repetition_features`` is PURE column expressions — per-document
+  stats need no shuffle at all; everything stays in whole-stage codegen
+  (array_sort + one aggregate() run-length pass, O(L log L) per doc).
+- ``chunk_dedup_corpus`` is the one genuinely corpus-wide op: ONE
+  shuffle keyed by chunk hash for the frequency table (exact distinct-doc
+  counts, two-phase partial agg), one co-keyed join back, one
+  re-assembly agg keyed by doc_id. Viral chunks (boilerplate present in
+  millions of pages) are the skew hazard — the frequency side is one row
+  per chunk so the join skew sits on the exploded side; AQE skew-join
+  splits it, and `spark.sql.adaptive.enabled` is on in our session.
+- ``decontaminate`` broadcasts the benchmark n-gram set (benchmarks are
+  ~1e6 grams — MBs); the corpus side never shuffles.
+
+Text is segmented into non-overlapping ``k``-word chunks as the "line"
+unit: the synthetic `documents` corpus is single-line, and fixed-width
+chunks make the dedup unit deterministic. On real webtext pass
+``split_lines=True`` to segment on newlines like C4/RefinedWeb do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+__all__ = [
+    "chunk_segments",
+    "repetition_features",
+    "chunk_dedup_corpus",
+    "decontaminate",
+]
+
+
+def chunk_segments(text: Column | str, k: int = 4, split_lines: bool = False) -> Column:
+    """array<string> of non-overlapping ``k``-word chunks (lowercased),
+    the dedup/repetition unit. ``split_lines=True`` segments on newlines
+    instead (the C4/RefinedWeb unit for real multi-line webtext)."""
+    t = F.col(text) if isinstance(text, str) else text
+    if split_lines:
+        return F.split(t, r"\n")
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    nseg = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1)
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+
+
+def _chunk_chars(chunks: Column) -> Column:
+    """Total characters across a chunk array (JVM aggregate, no UDF)."""
+    return F.aggregate(chunks, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """struct(gram, cnt) of the most frequent element of a SORTED array,
+    ties broken by first-in-sort-order (= lexicographically smallest),
+    via a single run-length aggregate() pass — no shuffle, no explode."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
+        better = run > acc.best
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.best).alias("best"),
+            F.when(better, x).otherwise(acc.bestg).alias("bestg"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc.bestg.alias("gram"), acc.best.alias("cnt")),
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Gopher-style repetition stats per document (Rae et al. 2021
+    §A1.1), entirely as column expressions — ZERO shuffle:
+
+    - ``dup_chunk_frac``: fraction of chunks that are repeats of an
+      earlier chunk in the same doc ((n - n_distinct) / n).
+    - ``dup_chunk_char_frac``: fraction of characters sitting in those
+      repeated occurrences.
+    - ``top_2gram``, ``top_2gram_count``, ``top_2gram_char_frac``: the
+      most frequent overlapping word 2-gram and the fraction of the
+      document's characters covered by its occurrences (count ties break
+      to the lexicographically smallest gram so results are
+      deterministic and oracle-comparable).
+
+    A doc exceeding Gopher's published thresholds (dup_line_frac > 0.30,
+    top_2gram_char_frac > 0.20) is what a curation pipeline drops.
+    """
+    chunks = chunk_segments(text_col, k)
+    dis = F.array_distinct(chunks)
+    n = F.size(chunks)
+    nd = F.size(dis)
+    tot_chars = _chunk_chars(chunks)
+    dis_chars = _chunk_chars(dis)
+    top = _top_run(F.array_sort(shingles(text_col, 2)))
+    doc_chars = F.length(F.col(text_col))
+    return df.select(
+        "doc_id",
+        n.alias("n_chunks"),
+        F.round((n - nd) / F.greatest(n, F.lit(1)).cast("double"), 6).alias("dup_chunk_frac"),
+        F.round(
+            (tot_chars - dis_chars) / F.greatest(tot_chars, F.lit(1)).cast("double"), 6
+        ).alias("dup_chunk_char_frac"),
+        top.gram.alias("top_2gram"),
+        top.cnt.alias("top_2gram_count"),
+        F.round(
+            (top.cnt * F.length(top.gram)) / F.greatest(doc_chars, F.lit(1)).cast("double"), 6
+        ).alias("top_2gram_char_frac"),
+    )
+
+
+def chunk_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    max_doc_freq: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level line dedup (C4 / RefinedWeb): a chunk occurring in
+    more than ``max_doc_freq`` distinct documents is boilerplate; drop
+    every occurrence — except, with ``keep_first``, the single earliest
+    one (min (doc_id, pos)), which is C4's keep-one-copy policy.
+
+    Plan: posexplode → ONE shuffle on the chunk text for the exact
+    distinct-doc frequency table (two-phase partial agg) + the earliest
+    occurrence (min struct — same agg, no extra pass) → co-keyed join
+    back → re-assemble per doc (array_sort over collected (pos, chunk)
+    structs restores original order without a sort exchange). Returns
+    one row per input doc: (doc_id, text_deduped, n_chunks, n_removed).
+    Docs reduced to nothing keep an empty string, so kept+dropped
+    accounting stays exact.
+    """
+    base = df.select("doc_id", chunk_segments(text_col, k).alias("chunks"))
+    ex = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
+    freq = ex.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df_count"),
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+    )
+    keep_cond = F.col("df_count") <= max_doc_freq
+    if keep_first:
+        keep_cond = keep_cond | (
+            (F.col("doc_id") == F.col("first_occ.doc_id")) & (F.col("pos") == F.col("first_occ.pos"))
+        )
+    kept = ex.join(freq, "chunk").where(keep_cond)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))), lambda s: s.chunk
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("chunks").alias("n_chunks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """GPT-3-style train/test decontamination: flag corpus documents
+    sharing any word ``n``-gram with a benchmark set (Brown et al. 2020
+    appendix C uses 13-grams; the synthetic docs are short so tests use
+    3).
+
+    The benchmark's distinct n-gram set is small (eval suites are ~1e6
+    grams) → built with one agg and BROADCAST; the corpus side explodes
+    its distinct grams and joins without shuffling. Returns one row per
+    corpus doc: (doc_id, n_hits, is_contaminated).
+    """
+    grams = F.array_distinct(shingles(text_col, n))
+    bench = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    doc_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
+    hits = (
+        doc_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

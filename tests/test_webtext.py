@@ -1,0 +1,131 @@
+"""Webtext curation operators (ml/webtext.py): Gopher repetition stats,
+C4-style corpus-level chunk dedup, GPT-3-style decontamination."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hydra_spark.ml import webtext
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+class TestChunkSegments:
+    def test_basic_and_remainder(self, spark):
+        df = _docs(spark, ["a b c d e f g h i j"])
+        [row] = df.select(webtext.chunk_segments("text", 4).alias("c")).collect()
+        assert row.c == ["a b c d", "e f g h", "i j"]
+
+    def test_short_and_empty(self, spark):
+        df = _docs(spark, ["a b", ""])
+        rows = df.select("doc_id", webtext.chunk_segments("text", 4).alias("c")).collect()
+        by_id = {r.doc_id: r.c for r in rows}
+        assert by_id[0] == ["a b"]
+        assert by_id[1] == [""]
+
+    def test_lowercases(self, spark):
+        df = _docs(spark, ["A B c"])
+        [row] = df.select(webtext.chunk_segments("text", 2).alias("c")).collect()
+        assert row.c == ["a b", "c"]
+
+    def test_split_lines_mode(self, spark):
+        df = _docs(spark, ["line one\nline two\nline one"])
+        [row] = df.select(webtext.chunk_segments("text", split_lines=True).alias("c")).collect()
+        assert row.c == ["line one", "line two", "line one"]
+
+
+class TestRepetitionFeatures:
+    def test_fully_repeated_doc(self, spark):
+        # k=2 chunks of "a b a b a b a b" -> ['a b'] * 4: 3 of 4 are dups
+        df = _docs(spark, ["a b a b a b a b"])
+        [r] = webtext.repetition_features(df, k=2).collect()
+        assert r.n_chunks == 4
+        assert r.dup_chunk_frac == 0.75
+        assert r.dup_chunk_char_frac == 0.75
+        # overlapping 2-grams: 'a b' x4, 'b a' x3
+        assert r.top_2gram == "a b"
+        assert r.top_2gram_count == 4
+        # 4 * len('a b') / len(text) = 12/15
+        assert r.top_2gram_char_frac == pytest.approx(12 / 15, abs=1e-6)
+
+    def test_no_repetition(self, spark):
+        [r] = webtext.repetition_features(_docs(spark, ["w x y z"]), k=2).collect()
+        assert r.dup_chunk_frac == 0.0 and r.dup_chunk_char_frac == 0.0
+        assert r.top_2gram_count == 1
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        # grams 'q r' and 'r q' both occur once; smallest wins deterministically
+        [r] = webtext.repetition_features(_docs(spark, ["q r"]), k=2).collect()
+        assert r.top_2gram == "q r"
+
+    def test_gopher_threshold_classification(self, spark):
+        df = _docs(spark, ["spam spam spam spam spam spam", "u v w x y z unique words here"])
+        rows = {r.doc_id: r for r in webtext.repetition_features(df, k=2).collect()}
+        assert rows[0].dup_chunk_frac > 0.30  # Gopher would drop
+        assert rows[1].dup_chunk_frac <= 0.30
+
+
+class TestChunkDedupCorpus:
+    def test_boilerplate_removed_keep_first(self, spark):
+        boiler = "subscribe to our newsletter"  # k=4 -> ['subscribe to our newsletter', ...]
+        df = _docs(
+            spark,
+            [
+                boiler + " alpha beta gamma delta",
+                boiler + " epsilon zeta eta theta",
+                "totally unique document four words",
+            ],
+        )
+        out = {r.doc_id: r for r in webtext.chunk_dedup_corpus(df, k=4).collect()}
+        # doc 0 holds the first occurrence -> keeps it; doc 1 loses it
+        assert out[0].n_removed == 0
+        assert out[1].n_removed == 1
+        assert out[1].text_deduped == "epsilon zeta eta theta"
+        assert out[2].n_removed == 0
+
+    def test_remove_all_policy(self, spark):
+        df = _docs(spark, ["same same same same", "same same same same"])
+        out = {
+            r.doc_id: r
+            for r in webtext.chunk_dedup_corpus(df, k=4, keep_first=False).collect()
+        }
+        assert out[0].text_deduped == "" and out[1].text_deduped == ""
+        assert out[0].n_removed == 1 and out[1].n_removed == 1
+
+    def test_doc_freq_threshold(self, spark):
+        df = _docs(spark, ["common phrase here now", "common phrase here now", "other words entirely differ"])
+        # max_doc_freq=2 tolerates the pair -> nothing removed
+        out = webtext.chunk_dedup_corpus(df, k=4, max_doc_freq=2)
+        assert out.agg(F.sum("n_removed")).first()[0] == 0
+
+    def test_row_count_preserved(self, spark):
+        df = _docs(spark, ["a b c d", "a b c d", "a b c d"])
+        out = webtext.chunk_dedup_corpus(df, k=4, keep_first=False)
+        assert out.count() == 3  # emptied docs still present, accounting exact
+
+
+class TestDecontaminate:
+    def test_flags_overlap(self, spark):
+        bench = _docs(spark, ["the quick brown fox jumps"])
+        corpus = _docs(
+            spark,
+            ["totally clean document text here", "contains the quick brown fox jumps verbatim"],
+        )
+        out = {r.doc_id: r for r in webtext.decontaminate(corpus, bench, n=3).collect()}
+        assert out[0].is_contaminated is False and out[0].n_hits == 0
+        assert out[1].is_contaminated is True and out[1].n_hits >= 1
+
+    def test_counts_distinct_grams_once(self, spark):
+        bench = _docs(spark, ["x y z"])
+        # doc grams: 'x y z','y z x','z x y','x y z' -> 3 distinct; only 'x y z' hits
+        corpus = _docs(spark, ["x y z x y z"])
+        [r] = webtext.decontaminate(corpus, bench, n=3).collect()
+        assert r.n_hits == 1
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        bench = _docs(spark, ["p q r"])
+        corpus = _docs(spark, ["p q r s"])
+        plan = webtext.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
