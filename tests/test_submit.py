@@ -1,0 +1,74 @@
+"""spark-submit --py-files deployment surface (north rule: the job ships
+as a zip via spark-submit; no repo checkout on the cluster).
+
+Runs the real `spark-submit` binary from a scratch cwd with the repo
+stripped from PYTHONPATH, so `import hydra_spark` can only resolve from
+the shipped dist/hydra_spark.zip.
+"""
+
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+
+
+def test_package_zip_is_deterministic(tmp_path):
+    sys.path.insert(0, str(ROOT / "scripts"))
+    try:
+        import package
+    finally:
+        sys.path.pop(0)
+    a = package.build(tmp_path / "a.zip")
+    b = package.build(tmp_path / "b.zip")
+    assert a.read_bytes() == b.read_bytes()
+    assert any(n.endswith("hydra_spark/crawl/round.py") for n in
+               __import__("zipfile").ZipFile(a).namelist())
+
+
+def test_spark_submit_py_files_crawl(tmp_path):
+    zip_path = tmp_path / "hydra_spark.zip"
+    subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "package.py"), str(zip_path)],
+        check=True, capture_output=True,
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    store = tmp_path / "store"
+    res = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(ROOT / "jobs" / "crawl_job.py"),
+            "--pages", "600", "--hosts", "12",
+            "--rounds", "2", "--batch-size", "200",
+            "--store", str(store),
+        ],
+        cwd=tmp_path,  # scratch cwd: hydra_spark NOT importable from here
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines() if l.startswith("{")]
+    summary = [l for l in lines if l.get("summary")]
+    assert summary, res.stdout
+    s = summary[0]
+    assert s["rounds_run"] == 2
+    assert s["n_checked_total"] == 400  # 2 rounds x batch_size
+    assert s["checks_rows"] == 400
+    assert s["last_round"] == 2
