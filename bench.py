@@ -130,15 +130,26 @@ def main() -> None:
                 spark, f"{ivf_dir}/idx", emb_q, k=5, n_probe=4
             )
 
+        # candidate pairs are the output of the minhash_pairs stage
+        # (timed below); verify/CC consume them — materialize ONCE
+        # outside their timed lambdas so each row measures the stage's
+        # marginal cost, not a recompute of its input
+        pairs_dir = _tf.mkdtemp(prefix="hydra_bench_pairs_") + "/pairs"
+        dedup.minhash_lsh_candidates(docs, k=16, bands=4).write.parquet(pairs_dir)
+        pairs = spark.read.parquet(pairs_dir)
+
+        from hydra_spark.ml import webtext
+
         hot = {
             "fingerprint": lambda: docs.select(mltext.fingerprint("text").alias("fp")),
             "minhash_pairs": lambda: dedup.minhash_lsh_candidates(docs, k=16, bands=4),
             "simhash": lambda: dedup.simhash(docs).select("doc_id", "simhash"),
-            "jaccard_verify": lambda: dedup.jaccard_verify(
-                docs, dedup.minhash_lsh_candidates(docs, k=16, bands=4), ngram=3
-            ),
-            "minhash_dedup_cc": lambda: dedup.connected_components(
-                dedup.minhash_lsh_candidates(docs, k=16, bands=4)
+            "jaccard_verify": lambda: dedup.jaccard_verify(docs, pairs, ngram=3),
+            "minhash_dedup_cc": lambda: dedup.connected_components(pairs),
+            "repetition_stats": lambda: webtext.repetition_features(docs, k=2),
+            "line_dedup": lambda: webtext.chunk_dedup_corpus(docs, k=4),
+            "decontaminate": lambda: webtext.decontaminate(
+                docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
             ),
             "ann_topk": lambda: similarity.ann_topk(
                 emb, emb_q, k=5, n_planes=8, probes=2, tables=4
@@ -156,6 +167,7 @@ def main() -> None:
             force(fn())
             timings[name] = round(time.time() - t0, 3)
         _sh.rmtree(ivf_dir, ignore_errors=True)
+        _sh.rmtree(os.path.dirname(pairs_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -82,15 +82,29 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def let_bound(value: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate `value` ONCE and pass
+    it to `fn` as a named lambda variable. Catalyst inlines unnamed
+    subexpressions, so `transform(idx, i -> f(slice(words, ...)))` with
+    an inline `words` re-evaluates the whole split per element — O(L²).
+    Wrapping in transform-over-a-one-element-array binds it as a lambda
+    variable (a real reference), restoring O(L)."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (lowercased)."""
+    """Word n-gram shingles as an array<string> (lowercased). The word
+    array is let-bound so the split runs once per row, not per shingle."""
     t = F.col(text) if isinstance(text, str) else text
-    words = F.split(F.lower(F.trim(t)), r"\s+")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    )
+
+    def build(words):
+        k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), k - 1)
+        return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+        )
+
+    return let_bound(F.split(F.lower(F.trim(t)), r"\s+"), build)
 
 
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:

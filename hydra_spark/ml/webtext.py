@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import let_bound, shingles
 
 __all__ = [
     "chunk_segments",
@@ -51,10 +51,14 @@ def chunk_segments(text: Column | str, k: int = 4, split_lines: bool = False) ->
     t = F.col(text) if isinstance(text, str) else text
     if split_lines:
         return F.split(t, r"\n")
-    words = F.split(F.lower(F.trim(t)), r"\s+")
-    nseg = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1)
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+
+    def build(words):
+        nseg = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1)
+        return F.transform(idx, lambda i: F.array_join(F.slice(words, i * k + 1, k), " "))
+
+    # let-bound: the split must evaluate once per row, not once per chunk
+    return let_bound(F.split(F.lower(F.trim(t)), r"\s+"), build)
 
 
 def _chunk_chars(chunks: Column) -> Column:
@@ -108,15 +112,31 @@ def repetition_features(df: DataFrame, text_col: str = "text", k: int = 4) -> Da
     A doc exceeding Gopher's published thresholds (dup_line_frac > 0.30,
     top_2gram_char_frac > 0.20) is what a curation pipeline drops.
     """
-    chunks = chunk_segments(text_col, k)
-    dis = F.array_distinct(chunks)
+    # Two projections: higher-order-function expressions are excluded
+    # from Catalyst's common-subexpression elimination, so computing the
+    # chunk array inline in every stat column would re-split the text
+    # six times per row. Materializing the arrays as named columns first
+    # makes them per-row locals inside the same codegen stage.
+    staged = df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("_doc_chars"),
+        chunk_segments(text_col, k).alias("_chunks"),
+        F.array_sort(shingles(text_col, 2)).alias("_grams2"),
+    ).select(
+        "doc_id",
+        "_doc_chars",
+        "_chunks",
+        F.array_distinct("_chunks").alias("_dis"),
+        _top_run(F.col("_grams2")).alias("_top"),
+    )
+    chunks, dis = F.col("_chunks"), F.col("_dis")
     n = F.size(chunks)
     nd = F.size(dis)
     tot_chars = _chunk_chars(chunks)
     dis_chars = _chunk_chars(dis)
-    top = _top_run(F.array_sort(shingles(text_col, 2)))
-    doc_chars = F.length(F.col(text_col))
-    return df.select(
+    top = F.col("_top")
+    doc_chars = F.col("_doc_chars")
+    return staged.select(
         "doc_id",
         n.alias("n_chunks"),
         F.round((n - nd) / F.greatest(n, F.lit(1)).cast("double"), 6).alias("dup_chunk_frac"),
