@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hydra_spark.ml.text import shingle_hashes, shingles
+from hydra_spark.ml.text import let_bound, shingle_hashes, shingles
 
 logger = logging.getLogger(__name__)
 
@@ -98,20 +98,28 @@ def minhash_signature(
     `portable_md5=True`: array<string> of min md5-hex of "<i>|<shingle>"
     — slower (hex materialization) but reproducible in any engine with
     an md5 builtin, which is what the cross-engine oracle check needs."""
+    # let-bound: the k per-seed passes all reference the shingle array;
+    # inlined it would be re-evaluated k times (lambda-bearing exprs are
+    # excluded from Catalyst CSE — see text.let_bound)
     if portable_md5:
-        sh = shingles(text, ngram)
-        sigs = [
-            F.array_min(
-                F.transform(
-                    sh, lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "UTF-8"))
+        return let_bound(
+            shingles(text, ngram),
+            lambda sh: F.array(*[
+                F.array_min(
+                    F.transform(
+                        sh, lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "UTF-8"))
+                    )
                 )
-            )
+                for i in range(k)
+            ]),
+        )
+    return let_bound(
+        shingle_hashes(text, ngram),
+        lambda sh: F.array(*[
+            F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(seed + i))))
             for i in range(k)
-        ]
-    else:
-        sh = shingle_hashes(text, ngram)
-        sigs = [F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(seed + i)))) for i in range(k)]
-    return F.array(*sigs)
+        ]),
+    )
 
 
 def minhash_lsh_candidates(
