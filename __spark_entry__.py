@@ -841,6 +841,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
         )
 
+    def q_unigram_lm(spark, sf):  # webtext: CCNet-style LM quality proxy
+        from hydra_spark.ml import webtext
+
+        # small vocab so the OOV smoothing path is exercised
+        return webtext.unigram_lm_score(_t(spark, sf, "documents"), vocab_size=20)
+
+    def q_stratified_sample(spark, sf):  # webtext: corpus-mixing sampler
+        from hydra_spark.ml import webtext
+
+        rates = {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)}
+        return webtext.stratified_sample(
+            _t(spark, sf, "documents").select("doc_id", "source"), rates
+        )
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -895,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "unigram_lm": q_unigram_lm,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1456,5 +1472,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(hits.n_hits, 0) > 0 AS is_contaminated
             FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
             WHERE s.source <> 'src0'
+        """,
+        "unigram_lm": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w),
+            freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+            vocab AS (SELECT word, cnt FROM freq ORDER BY cnt DESC, word LIMIT 20),
+            sc AS (SELECT w.doc_id,
+                          log10(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / t.total) AS lp
+                   FROM w LEFT JOIN vocab v USING (word) CROSS JOIN tot t)
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(round(-avg(lp), 6) AS DOUBLE) AS lm_score
+            FROM sc GROUP BY 1
+        """,
+        # uniform_hash twin: first 8 md5 nibbles of '13|<doc_id>' over 2^32;
+        # exact binary rates (1.0/0.5/0.25/0.125) make the compare exact
+        "stratified_sample": r"""
+            SELECT doc_id, source FROM documents
+            WHERE list_sum([(strpos('0123456789abcdef',
+                     substring(md5('13|' || CAST(doc_id AS VARCHAR)), i, 1))-1)::BIGINT
+                     << (4*(8-i)) for i in range(1,9)]) / 4294967296.0
+                  < CASE CAST(substring(source, 4) AS INT) % 4
+                      WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END
         """,
     }

@@ -151,6 +151,11 @@ def main() -> None:
             "decontaminate": lambda: webtext.decontaminate(
                 docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
             ),
+            "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),
+            "stratified_sample": lambda: webtext.stratified_sample(
+                docs.select("doc_id", "source"),
+                {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)},
+            ),
             "ann_topk": lambda: similarity.ann_topk(
                 emb, emb_q, k=5, n_planes=8, probes=2, tables=4
             ),

@@ -41,6 +41,9 @@ __all__ = [
     "repetition_features",
     "chunk_dedup_corpus",
     "decontaminate",
+    "unigram_lm_score",
+    "uniform_hash",
+    "stratified_sample",
 ]
 
 
@@ -203,6 +206,80 @@ def chunk_dedup_corpus(
             (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy (Wenzek et al. 2020 use
+    a KenLM 5-gram; the unigram variant keeps the same shape fully
+    inside Spark): score = -mean log10 p(word) under the corpus's own
+    unigram distribution, truncated to the top ``vocab_size`` words
+    (out-of-vocabulary words get a 0.5-count smoothed probability).
+    High score = rare-word soup (boilerplate/gibberish); low = fluent.
+
+    Plan: one word-count aggregate (map-side combinable) → global top-K
+    on the aggregated vocab (tie-broken by word for determinism) →
+    BROADCAST vocab + 1-row total joined against the exploded corpus (no
+    corpus shuffle) → one re-agg by doc. The vocab truncation is what
+    makes the broadcast feasible at 100 TB — full web vocabularies are
+    ~1e9 words, top-50k covers the mass.
+
+    Returns (id_col, n_words, lm_score).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    vocab = freq.orderBy(F.desc("cnt"), "word").limit(vocab_size)
+    total = words.agg(F.count("*").cast("double").alias("_total"))
+    scored = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp", F.log10(F.coalesce(F.col("cnt").cast("double"), F.lit(0.5)) / F.col("_total")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.round(-F.avg("_lp"), 6).alias("lm_score"),
+    )
+
+
+def uniform_hash(key: Column, seed: int = 13) -> Column:
+    """Deterministic uniform double in [0, 1) from md5(seed|key) — the
+    first 8 hex nibbles as a 32-bit integer over 2^32. Portable: any
+    engine with md5 reproduces it bit-for-bit (exact rational value), so
+    sampling decisions replay across engines and cluster sizes."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 8), 16, 10).cast("long")
+    return h / F.lit(float(1 << 32))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 13,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing primitive
+    (training pipelines up/down-weight sources; e.g. The Pile's and
+    LLaMA's per-source epochs). ``rates[stratum]`` is the keep
+    probability; membership is ``uniform_hash(key) < rate``, so the
+    sample is reproducible at any parallelism, stable under re-runs, and
+    a row's fate never depends on other rows (no shuffle, no count —
+    pure filter; exact binary rates like 0.5/0.25 compare exactly).
+    Unlisted strata get ``default_rate``."""
+    pairs = []
+    for s, r in sorted(rates.items()):
+        pairs += [F.lit(s), F.lit(float(r))]
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)] if pairs else F.lit(None).cast("double"),
+        F.lit(float(default_rate)),
+    )
+    return df.where(uniform_hash(F.col(key_col).cast("string"), seed) < rate)
 
 
 def decontaminate(

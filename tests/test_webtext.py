@@ -129,3 +129,62 @@ class TestDecontaminate:
         corpus = _docs(spark, ["p q r s"])
         plan = webtext.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestUnigramLm:
+    def test_common_words_score_lower(self, spark):
+        df = _docs(spark, [
+            "the the the the the the the the",   # all top-vocab
+            "qqxzj wvbnk zzyxw qpfjm llorp kkttg mmnnv ccddz",  # all rare
+        ])
+        rows = {r.doc_id: r for r in webtext.unigram_lm_score(df, vocab_size=1).collect()}
+        assert rows[0].lm_score < rows[1].lm_score
+        assert rows[0].n_words == 8 and rows[1].n_words == 8
+
+    def test_exact_value_single_word(self, spark):
+        # corpus = one doc 'a a': p(a) = 2/2 = 1 -> -log10(1) = 0
+        [r] = webtext.unigram_lm_score(_docs(spark, ["a a"]), vocab_size=5).collect()
+        assert r.lm_score == 0.0
+
+    def test_oov_smoothing(self, spark):
+        # vocab_size=1 keeps only 'a' (3 occurrences); 'b' is OOV:
+        # total=4, score_doc1 = -(log10(3/4)*? ) doc 'a a a b':
+        # lp(a)=log10(3/4), lp(b)=log10(0.5/4)
+        import math
+        [r] = webtext.unigram_lm_score(_docs(spark, ["a a a b"]), vocab_size=1).collect()
+        expect = -(3 * math.log10(3 / 4) + math.log10(0.5 / 4)) / 4
+        assert r.lm_score == pytest.approx(expect, abs=1e-6)
+
+
+class TestStratifiedSample:
+    def _src_docs(self, spark, n=400):
+        return spark.createDataFrame(
+            [Row(doc_id=i, source=f"s{i % 2}") for i in range(n)]
+        )
+
+    def test_rates_respected(self, spark):
+        df = self._src_docs(spark)
+        out = webtext.stratified_sample(df, {"s0": 1.0, "s1": 0.25})
+        counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["s0"] == 200  # rate 1.0 keeps everything
+        assert 20 < counts.get("s1", 0) < 80  # ~50 of 200 at 0.25
+
+    def test_deterministic_and_nested(self, spark):
+        df = self._src_docs(spark)
+        a = {r.doc_id for r in webtext.stratified_sample(df, {"s0": 0.5, "s1": 0.5}).collect()}
+        b = {r.doc_id for r in webtext.stratified_sample(df, {"s0": 0.5, "s1": 0.5}).collect()}
+        assert a == b
+        # lower rate selects a subset of the higher rate's sample (same seed)
+        c = {r.doc_id for r in webtext.stratified_sample(df, {"s0": 0.25, "s1": 0.25}).collect()}
+        assert c <= a
+
+    def test_default_rate_drops_unlisted(self, spark):
+        df = self._src_docs(spark)
+        out = webtext.stratified_sample(df, {"s0": 1.0})
+        assert out.where("source = 's1'").count() == 0
+        assert out.count() == 200
+
+    def test_no_shuffle_plan(self, spark):
+        df = self._src_docs(spark)
+        plan = webtext.stratified_sample(df, {"s0": 0.5})._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
