@@ -114,3 +114,29 @@ def test_minhash_plan_has_no_cartesian(spark):
     # any equi-join flavor is fine (AQE broadcasts the capped band side
     # at small sf; sort-merge/shuffled-hash at scale)
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_repetition_features_is_shuffle_free(spark):
+    """Per-doc repetition stats are pure column expressions — the plan
+    must contain NO exchange at all (embarrassingly parallel at 100 TB)."""
+    from hydra_spark.ml.webtext import repetition_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_features(docs, k=2))
+    assert "Exchange" not in plan, plan
+
+
+def test_unigram_lm_corpus_side_never_shuffles(spark):
+    """The scoring join must broadcast the aggregated vocab; the only
+    exchanges allowed are the vocab/total aggregations and the final
+    per-doc re-agg — the exploded corpus itself must not hash-partition
+    by word (stopword skew would kill that at scale)."""
+    from hydra_spark.ml.webtext import unigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(unigram_lm_score(docs, vocab_size=20))
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE word-keyed exchange: the vocab frequency aggregate
+    # (map-side combined, so only (word, count) rows move) — the raw
+    # exploded corpus itself never hash-partitions by word
+    assert plan.count("Exchange hashpartitioning(word") == 1, plan
