@@ -855,6 +855,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "source"), rates
         )
 
+    def q_redact_pii(spark, sf):  # webtext: anonymization pass
+        from hydra_spark.ml import webtext
+
+        d = F.col("doc_id")
+        # plant deterministic PII so the redaction paths all execute
+        planted = _t(spark, sf, "documents").withColumn(
+            "text",
+            F.concat(
+                "text",
+                F.when(d % 5 == 0,
+                       F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.org"))
+                       ).otherwise(F.lit("")),
+                F.when(d % 7 == 0,
+                       F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1"))
+                       ).otherwise(F.lit("")),
+                F.when(d % 11 == 0, F.lit(" tel +33 1 22 33 44 55")).otherwise(F.lit("")),
+            ),
+        )
+        return webtext.redact_pii(planted)
+
+    def q_corpus_token_stats(spark, sf):  # webtext: token accounting
+        from hydra_spark.ml import webtext
+
+        return webtext.corpus_token_stats(_t(spark, sf, "documents"))
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -911,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "unigram_lm": q_unigram_lm,
         "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
+        "corpus_token_stats": q_corpus_token_stats,
     }
 
 
@@ -1497,5 +1524,49 @@ def oracle_sql() -> dict[str, str]:
                      << (4*(8-i)) for i in range(1,9)]) / 4294967296.0
                   < CASE CAST(substring(source, 4) AS INT) % 4
                       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END
+        """,
+        # twin of webtext.redact_pii over the same planted-PII grammar
+        "redact_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' tel +33 1 22 33 44 55' ELSE '' END
+                       AS text
+              FROM documents),
+            e AS (SELECT doc_id,
+                         CAST(len(regexp_extract_all(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                         regexp_replace(text,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                  FROM planted),
+            i AS (SELECT doc_id, n_emails,
+                         CAST(len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips,
+                         regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+                  FROM e)
+            SELECT doc_id,
+                   regexp_replace(t2, '\+?\d[\d .-]{7,}\d', '<PHONE>', 'g') AS text_redacted,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2, '\+?\d[\d .-]{7,}\d')) AS INT) AS n_phones
+            FROM i
+        """,
+        "corpus_token_stats": r"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   CAST(min(nt) AS INT) AS min_tokens,
+                   CAST(max(nt) AS INT) AS max_tokens,
+                   CAST(round(avg(nt), 6) AS DOUBLE) AS avg_tokens,
+                   count(DISTINCT nt // 32) AS n_size_buckets
+            FROM (SELECT source,
+                         CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+                  FROM documents)
+            GROUP BY 1
         """,
     }

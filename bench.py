@@ -152,6 +152,8 @@ def main() -> None:
                 docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
             ),
             "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),
+            "redact_pii": lambda: webtext.redact_pii(docs),
+            "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
             "stratified_sample": lambda: webtext.stratified_sample(
                 docs.select("doc_id", "source"),
                 {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)},

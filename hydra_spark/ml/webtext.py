@@ -44,6 +44,8 @@ __all__ = [
     "unigram_lm_score",
     "uniform_hash",
     "stratified_sample",
+    "redact_pii",
+    "corpus_token_stats",
 ]
 
 
@@ -280,6 +282,61 @@ def stratified_sample(
         F.lit(float(default_rate)),
     )
     return df.where(uniform_hash(F.col(key_col).cast("string"), seed) < rate)
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.)" + r"{3}\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d .-]{7,}\d"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing, the standard pre-release anonymization pass
+    (FineWeb/BigScience-ROOTS redact emails, IPs, phone-ish digit runs):
+    replaces matches with <EMAIL>/<IP>/<PHONE> placeholders and counts
+    them per document. Pure regexp column expressions — RE2/Java-regex
+    compatible patterns (no lookaround), zero shuffle, codegen'd.
+    Order matters: emails first (digit-bearing addresses would otherwise
+    be chewed by the phone pattern), then IPs, then phones last — the
+    loose phone pattern (\+?\d[\d .-]{7,}\d) matches dotted digit runs,
+    so un-redacted IPs would be mislabeled <PHONE>.
+    Returns (id_col, text_redacted, n_emails, n_ips, n_phones)."""
+    t = F.col(text_col)
+    n_emails = F.coalesce(F.regexp_count(t, F.lit(PII_EMAIL)), F.lit(0))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.coalesce(F.regexp_count(after_email, F.lit(PII_IPV4)), F.lit(0))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.coalesce(F.regexp_count(after_ip, F.lit(PII_PHONE)), F.lit(0))
+    redacted = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        redacted.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def corpus_token_stats(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Per-stratum token accounting — the "how many tokens do we have,
+    and where" question every training run starts with. Whitespace
+    tokens; histogram bucket = floor(tokens/32) keeps the stats exact
+    (integer arithmetic, engine-portable) instead of approximate
+    percentiles. One map-side-combinable aggregate."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_tokens = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return (
+        df.select(F.col(by), n_tokens.alias("_nt"))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+            F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+            F.countDistinct(F.floor(F.col("_nt") / 32)).alias("n_size_buckets"),
+        )
+    )
 
 
 def decontaminate(

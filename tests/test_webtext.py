@@ -131,6 +131,52 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
 
 
+class TestRedactPii:
+    def test_email_ip_phone(self, spark):
+        df = _docs(spark, ["mail bob@corp.example.org ip 192.168.1.10 call +33 1 22 33 44 55 done"])
+        [r] = webtext.redact_pii(df).collect()
+        assert r.n_emails == 1 and r.n_ips == 1 and r.n_phones == 1
+        assert r.text_redacted == "mail <EMAIL> ip <IP> call <PHONE> done"
+
+    def test_email_before_ip_ordering(self, spark):
+        # numeric-host 'a@1.2.3.4' is NOT an email (no alpha TLD) — the
+        # IP pattern gets it; a real address next to an IP redacts both
+        df = _docs(spark, ["x a@1.2.3.4 y", "m bob@mail.example.com 1.2.3.4 n"])
+        rows = {r.doc_id: r for r in webtext.redact_pii(df).collect()}
+        assert rows[0].n_emails == 0 and rows[0].n_ips == 1
+        assert rows[0].text_redacted == "x a@<IP> y"
+        assert rows[1].n_emails == 1 and rows[1].n_ips == 1
+        assert rows[1].text_redacted == "m <EMAIL> <IP> n"
+
+    def test_clean_text_untouched(self, spark):
+        df = _docs(spark, ["nothing sensitive here at all"])
+        [r] = webtext.redact_pii(df).collect()
+        assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+        assert r.text_redacted == "nothing sensitive here at all"
+
+    def test_shuffle_free_plan(self, spark):
+        df = _docs(spark, ["a"])
+        plan = webtext.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestCorpusTokenStats:
+    def test_accounting(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a b c", source="s0"),
+                Row(doc_id=1, text="d e", source="s0"),
+                Row(doc_id=2, text="", source="s1"),
+            ]
+        )
+        rows = {r.source: r for r in webtext.corpus_token_stats(df).collect()}
+        assert rows["s0"].n_docs == 2
+        assert rows["s0"].total_tokens == 5
+        assert rows["s0"].min_tokens == 2 and rows["s0"].max_tokens == 3
+        assert rows["s0"].avg_tokens == 2.5
+        assert rows["s1"].total_tokens == 0
+
+
 class TestUnigramLm:
     def test_common_words_score_lower(self, spark):
         df = _docs(spark, [
