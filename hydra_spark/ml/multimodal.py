@@ -12,8 +12,12 @@ Decode status:
 - PNG/GIF/BMP/JPEG headers parse to (width, height, channels) metadata
   without decoding pixels (`parse_image_header` / `probe_image_meta` —
   JPEG via the SOFn frame header).
-- JPEG pixels, audio and video codecs still need external libraries
-  (PIL/ffmpeg, absent in this container): those raise
+- PCM WAV audio decodes to float samples with the stdlib `wave`
+  module (8/16/32-bit); `parse_wav_header` probes RIFF metadata
+  without reading samples; `audio_features` is the audio twin of the
+  image histogram features.
+- JPEG pixels and compressed audio/video codecs still need external
+  libraries (PIL/ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
   deterministic byte-histogram "feature" is produced — the Spark-side
   plumbing (schema, partitioning, UDF signatures, batch shapes) is
@@ -357,11 +361,82 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+_RIFF = b"RIFF"
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """RIFF/WAVE fmt-chunk parse (header only, no sample decode):
+    returns {format, sample_rate, n_channels, bit_depth, duration_ms}
+    or None if not a WAV. Pure struct walk over the chunk list."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != _RIFF or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            audio_fmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            fmt = (audio_fmt, ch, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    audio_fmt, ch, rate, bits = fmt
+    frames = (data_size // max(ch * (bits // 8), 1)) if data_size is not None else 0
+    return {
+        "format": "wav",
+        "sample_rate": int(rate),
+        "n_channels": int(ch),
+        "bit_depth": int(bits),
+        "duration_ms": int(frames * 1000 // max(rate, 1)),
+    }
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (samples[n_frames, n_channels] float32 in [-1, 1],
+    sample_rate) with the stdlib `wave` module alone (8/16/32-bit PCM;
+    compressed codecs raise)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        ch, width, rate, n = w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    return a.reshape(-1, ch), rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """16-dim audio feature vector (mono mix): [duration_s, rms, peak,
+    zero-crossing rate, then a 12-bin |amplitude| histogram,
+    L1-normalized] — the audio twin of `image_features`."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = max(len(mono), 1)
+    zcr = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / n
+    hist = np.histogram(np.abs(mono), bins=12, range=(0.0, 1.0))[0].astype(np.float32)
+    hist /= max(hist.sum(), 1.0)
+    head = np.array(
+        [n / max(rate, 1), float(np.sqrt(np.mean(mono**2))), float(np.abs(mono).max(initial=0.0)), zcr],
+        dtype=np.float32,
+    )
+    return np.concatenate([head, hist])
+
+
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction — one Arrow batch at a time, no
     shuffle. fake=True → byte-histogram stand-in for every payload
     (the oracle path); fake=False → real pixel histogram for decodable
-    images (PNG/BMP), NotImplementedError otherwise."""
+    images (PNG/BMP/GIF) and real sample features for PCM WAV audio,
+    NotImplementedError otherwise."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -373,6 +448,8 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append(None)
                 elif fake:
                     feats.append(decode_image(b, fake=True).tolist())
+                elif b[:4] == _RIFF and b[8:12] == b"WAVE":
+                    feats.append(audio_features(*decode_wav(b)).tolist())
                 else:
                     feats.append(image_features(decode_image(b)).tolist())
             yield pd.DataFrame(

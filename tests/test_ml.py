@@ -636,3 +636,68 @@ def test_jpeg_header_probe():
     hdr2 = parse_image_header(jpeg(31, 17, 1, progressive=True))
     assert hdr2["width"] == 31 and hdr2["height"] == 17 and hdr2["channels"] == 1
     assert parse_image_header(b"\xff\xd8\x00garbage") is None
+
+
+def test_wav_header_decode_features():
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import audio_features, decode_wav, parse_wav_header
+
+    buf = io.BytesIO()
+    rate, secs, freq = 8000, 1, 440
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<hh", int(12000 * math.sin(2 * math.pi * freq * t / rate)),
+                        int(6000 * math.cos(2 * math.pi * freq * t / rate)))
+            for t in range(rate * secs)
+        )
+        w.writeframes(frames)
+    payload = buf.getvalue()
+
+    hdr = parse_wav_header(payload)
+    assert hdr == {"format": "wav", "sample_rate": 8000, "n_channels": 2,
+                   "bit_depth": 16, "duration_ms": 1000}
+
+    samples, r = decode_wav(payload)
+    assert r == 8000 and samples.shape == (8000, 2)
+    assert np.abs(samples).max() <= 1.0
+
+    feats = audio_features(samples, r)
+    assert len(feats) == 16
+    assert feats[0] == pytest.approx(1.0)          # duration_s
+    assert 0.0 < feats[1] < 1.0                    # rms
+    # a 440 Hz tone crosses zero ~2*440 times/s
+    assert feats[3] == pytest.approx(2 * 440 / 8000, rel=0.05)
+    assert np.isclose(feats[4:].sum(), 1.0)        # histogram L1-normalized
+
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(b"\x00" * 50) is None
+
+
+def test_extract_features_real_wav_path(spark):
+    import io
+    import wave
+
+    from pyspark.sql import Row
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(1000)
+        w.writeframes(bytes([128] * 500))  # 0.5 s of silence, 8-bit
+    assets = spark.createDataFrame(
+        [Row(asset_id=0, media_type="audio", payload=bytearray(buf.getvalue()))]
+    )
+    [r] = extract_features(assets, fake=False).collect()
+    assert r.n_bytes > 44
+    assert r.features[0] == pytest.approx(0.5)  # duration
+    assert r.features[1] == pytest.approx(0.0)  # rms of silence
