@@ -16,8 +16,11 @@ Decode status:
   module (8/16/32-bit); `parse_wav_header` probes RIFF metadata
   without reading samples; `audio_features` is the audio twin of the
   image histogram features.
-- JPEG pixels and compressed audio/video codecs still need external
-  libraries (PIL/ffmpeg, absent in this container): those raise
+- Baseline (sequential-DCT) JPEG decodes to real pixels via
+  `ml/jpeg.py` (stdlib + numpy Huffman/IDCT; cross-checked against the
+  JVM's ImageIO decoder in tests).
+- Progressive JPEG and compressed audio/video codecs still need
+  external libraries (PIL/ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
   deterministic byte-histogram "feature" is produced — the Spark-side
   plumbing (schema, partitioning, UDF signatures, batch shapes) is
@@ -341,8 +344,8 @@ def image_features(pixels: np.ndarray) -> np.ndarray:
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """fake=True → deterministic 16-bin byte histogram (the oracle
-    stand-in, unchanged). fake=False → real pixel decode for PNG/BMP;
-    GIF/JPEG pixels still need PIL and raise."""
+    stand-in, unchanged). fake=False → real pixel decode for
+    PNG/BMP/GIF/baseline-JPEG; progressive JPEG raises."""
     if fake:
         # deterministic stand-in: 16-bin byte histogram, L1-normalized
         a = np.frombuffer(payload, dtype=np.uint8)
@@ -355,9 +358,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_bmp(payload)
     if hdr is not None and hdr["format"] == "gif":
         return decode_gif(payload)
+    if hdr is not None and hdr["format"] == "jpeg":
+        from hydra_spark.ml.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/BMP/GIF decode with the stdlib; other formats need an "
-        "image library (PIL/libvips) — run with fake=True for the stand-in"
+        "only PNG/BMP/GIF/baseline-JPEG decode without an image library "
+        "(PIL/libvips) — run with fake=True for the stand-in"
     )
 
 
