@@ -16,11 +16,12 @@ Decode status:
   module (8/16/32-bit); `parse_wav_header` probes RIFF metadata
   without reading samples; `audio_features` is the audio twin of the
   image histogram features.
-- Baseline (sequential-DCT) JPEG decodes to real pixels via
+- JPEG — both baseline (SOF0/1) and progressive (SOF2: spectral
+  selection + successive approximation) — decodes to real pixels via
   `ml/jpeg.py` (stdlib + numpy Huffman/IDCT; cross-checked against the
   JVM's ImageIO decoder in tests).
-- Progressive JPEG and compressed audio/video codecs still need
-  external libraries (PIL/ffmpeg, absent in this container): those raise
+- Compressed audio and video codecs still need external libraries
+  (ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
   deterministic byte-histogram "feature" is produced — the Spark-side
   plumbing (schema, partitioning, UDF signatures, batch shapes) is
@@ -345,7 +346,7 @@ def image_features(pixels: np.ndarray) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """fake=True → deterministic 16-bin byte histogram (the oracle
     stand-in, unchanged). fake=False → real pixel decode for
-    PNG/BMP/GIF/baseline-JPEG; progressive JPEG raises."""
+    PNG/BMP/GIF/JPEG (baseline + progressive)."""
     if fake:
         # deterministic stand-in: 16-bin byte histogram, L1-normalized
         a = np.frombuffer(payload, dtype=np.uint8)
@@ -363,7 +364,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/BMP/GIF/baseline-JPEG decode without an image library "
+        "only PNG/BMP/GIF/JPEG decode without an image library "
         "(PIL/libvips) — run with fake=True for the stand-in"
     )
 

@@ -1,4 +1,4 @@
-"""Baseline JPEG decoder (ml/jpeg.py) cross-checked against the JVM's
+"""JPEG decoder (ml/jpeg.py, baseline + progressive) cross-checked against the JVM's
 ImageIO decoder via Spark's `image` data source — two independent
 implementations agreeing within IDCT/chroma-upsample rounding."""
 
@@ -29,44 +29,35 @@ def _ref_pixels(spark, path):
     return ref[:, :, ::-1] if row.nChannels == 3 else ref[:, :, 0]
 
 
-def test_baseline_jpegs_match_imageio(spark):
+EXTRA = [p for p in ("/usr/share/doc/nodejs/thin-white-stripe.jpg",
+                     "/usr/share/doc/nodejs/full-white-stripe.jpg") if os.path.exists(p)]
+
+
+def test_jpegs_match_imageio(spark):
     checked = 0
-    for path in FIXTURES:
+    for path in FIXTURES + EXTRA:
         data = open(path, "rb").read()
-        try:
-            ours = decode_jpeg(data)
-        except NotImplementedError:
-            continue  # progressive fixtures are gated by design
+        ours = decode_jpeg(data)
         ref = _ref_pixels(spark, path)
         assert ours.shape == ref.shape, path
         diff = np.abs(ours.astype(int) - ref.astype(int))
         assert diff.mean() < 2.5, (path, diff.mean())
         assert np.percentile(diff, 99) <= 16, (path, np.percentile(diff, 99))
         checked += 1
-    assert checked >= 3  # several baseline fixtures actually decoded
+    assert checked >= 5  # baseline AND progressive fixtures all decoded
 
 
-def test_progressive_gated():
+def test_progressive_grayscale_decodes():
     prog = [p for p in FIXTURES if "grayscale" in p]
     if not prog:
         pytest.skip("no progressive fixture")
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(open(prog[0], "rb").read())
+    px = decode_jpeg(open(prog[0], "rb").read())
+    assert px.shape == (215, 300)  # SOF2, single component
 
 
 def test_truncated_stream_returns_partial():
-    baseline = None
-    for path in FIXTURES:
-        data = open(path, "rb").read()
-        try:
-            full = decode_jpeg(data)
-            baseline = (data, full)
-            break
-        except NotImplementedError:
-            continue
-    if baseline is None:
-        pytest.skip("no baseline fixture")
-    data, full = baseline
+    data = open(FIXTURES[0], "rb").read()
+    full = decode_jpeg(data)
     part = decode_jpeg(data[: len(data) // 2])
     assert part.shape == full.shape  # dimensions from the header survive
 
@@ -79,12 +70,6 @@ def test_not_a_jpeg_raises():
 def test_multimodal_routes_jpeg():
     from hydra_spark.ml.multimodal import decode_image
 
-    for path in FIXTURES:
-        data = open(path, "rb").read()
-        try:
-            px = decode_image(data)
-        except NotImplementedError:
-            continue
-        assert px.dtype == np.uint8 and px.ndim == 3
-        return
-    pytest.skip("no baseline fixture")
+    data = open(FIXTURES[0], "rb").read()
+    px = decode_image(data)
+    assert px.dtype == np.uint8 and px.ndim == 3
