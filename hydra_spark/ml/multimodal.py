@@ -369,6 +369,93 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder (filter 0, one zlib stream) for
+    grayscale (H, W), RGB (H, W, 3) or RGBA (H, W, 4) uint8 arrays —
+    the writer half of `decode_png` (roundtrip-tested)."""
+    import struct
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w, color = px.shape[0], px.shape[1], 0
+        rows = px[:, :, None]
+    else:
+        h, w, nch = px.shape
+        color = {1: 0, 3: 2, 4: 6}[nch]
+        rows = px
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_bilinear(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize via numpy gather — no image library. Accepts
+    (H, W) or (H, W, C) uint8, returns the same rank."""
+    px = pixels.astype(np.float32)
+    squeeze = px.ndim == 2
+    if squeeze:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    # pixel-center sampling (the standard align_corners=False convention)
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = px[y0][:, x0] * (1 - wx) + px[y0][:, x1] * wx
+    bot = px[y1][:, x0] * (1 - wx) + px[y1][:, x1] * wx
+    out = np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),  # PNG re-encode
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → bilinear resize → PNG re-encode, one Arrow batch at a
+    time (the thumbnailing stage of a multimodal training pipeline).
+    Payloads that don't decode (non-images, exotic codecs) yield NULL
+    payload rows rather than failing the batch — at 100 TB a poison
+    payload must never kill the job."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in pdf[["asset_id", "payload"]].itertuples(index=False):
+                try:
+                    px = decode_image(bytes(payload))
+                    out = resize_bilinear(px, width, height)
+                    rows.append((int(aid), encode_png(out), width, height))
+                except Exception:
+                    rows.append((int(aid), None, None, None))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload", "width", "height"])
+
+    return assets.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 _RIFF = b"RIFF"
 
 

@@ -701,3 +701,58 @@ def test_extract_features_real_wav_path(spark):
     assert r.n_bytes > 44
     assert r.features[0] == pytest.approx(0.5)  # duration
     assert r.features[1] == pytest.approx(0.0)  # rms of silence
+
+
+def test_encode_png_roundtrip():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = decode_png(encode_png(px))
+        if px.ndim == 2:
+            back = back[:, :, 0]
+        assert np.array_equal(back, px)
+
+
+def test_resize_bilinear_identity_and_downscale():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import resize_bilinear
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(resize_bilinear(px, 8, 8), px)  # identity
+    down = resize_bilinear(np.stack([px] * 3, axis=-1), 4, 4)
+    assert down.shape == (4, 4, 3)
+    # constant image stays constant through any resize
+    const = np.full((10, 6, 3), 77, dtype=np.uint8)
+    assert np.all(resize_bilinear(const, 3, 9) == 77)
+
+
+def test_resize_images_stage(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from hydra_spark.ml.multimodal import decode_png, encode_png, resize_images
+
+    rng = np.random.default_rng(9)
+    good = encode_png(rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8))
+    jpeg = open(
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/54893.jpg", "rb"
+    ).read()
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=0, media_type="image", payload=bytearray(good)),
+            Row(asset_id=1, media_type="image", payload=bytearray(jpeg)),
+            Row(asset_id=2, media_type="image", payload=bytearray(b"not an image")),
+        ]
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 8, 8).collect()}
+    for aid in (0, 1):
+        assert out[aid].width == 8 and out[aid].height == 8
+        px = decode_png(bytes(out[aid].payload))
+        assert px.shape == (8, 8, 3)
+    assert out[2].payload is None  # poison payload -> NULL, not a crash
