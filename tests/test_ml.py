@@ -756,3 +756,78 @@ def test_resize_images_stage(spark):
         px = decode_png(bytes(out[aid].payload))
         assert px.shape == (8, 8, 3)
     assert out[2].payload is None  # poison payload -> NULL, not a crash
+
+
+def _encode_png_v2(pixels, depth=8, interlace=0):
+    """Independent PNG encoder for decoder tests: supports 16-bit
+    samples and Adam7 interlace (filter 0 rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    h, w = pixels.shape[:2]
+    nch = 1 if pixels.ndim == 2 else pixels.shape[2]
+    px = pixels.reshape(h, w, nch)
+    color = {1: 0, 3: 2, 4: 6}[nch]
+
+    def rowbytes(arr):  # arr (H, W, C)
+        if depth == 16:
+            return arr.astype(">u2").tobytes()
+        return arr.astype(np.uint8).tobytes()
+
+    if interlace == 0:
+        raw = b"".join(b"\x00" + rowbytes(px[y : y + 1]) for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                parts.append(b"\x00" + rowbytes(sub[y : y + 1]))
+        raw = b"".join(parts)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(16, 16, 3), (13, 9, 3), (7, 5), (1, 1, 3), (9, 3, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(_encode_png_v2(px, interlace=1))
+        want = px.reshape(px.shape[0], px.shape[1], -1)
+        assert np.array_equal(got, want), shape
+
+
+def test_png_16bit_depth_downscales():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png
+
+    px16 = (np.arange(12, dtype=np.uint16).reshape(2, 2, 3) * 5000) % 65536
+    got = decode_png(_encode_png_v2(px16, depth=16))
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_interlaced():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png
+
+    rng = np.random.default_rng(13)
+    px16 = rng.integers(0, 65536, size=(10, 6, 3), dtype=np.uint16)
+    got = decode_png(_encode_png_v2(px16, depth=16, interlace=1))
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
