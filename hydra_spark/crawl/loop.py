@@ -37,6 +37,7 @@ def run_crawl(
     round_interval_s: float = 60.0,
     robots_rules=None,
     exceptions=None,
+    force_analysis=None,
 ) -> list[dict]:
     """Run `rounds` rounds, resuming after the last committed one."""
     start = datetime.strptime(start_now, TS_FMT)
@@ -48,5 +49,5 @@ def run_crawl(
     out = []
     for r in range(first, first + rounds):
         now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
-        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions))
+        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions, force_analysis=force_analysis))
     return out

@@ -90,6 +90,7 @@ def run_round(
     now: str,
     robots_rules: DataFrame | None = None,
     exceptions: DataFrame | None = None,
+    force_analysis: DataFrame | None = None,
 ) -> dict:
     t0 = time.time()
     _tlast = [t0]
@@ -156,8 +157,19 @@ def run_round(
     from hydra_spark.analysis.xlsx import XLSX_MIME
 
     size_cap = int(cfg.max_filesize_allowed.get("csv", cfg.max_filesize_allowed["default"]))
+    # on-demand checks re-analyse even when unchanged (routes/checks.py
+    # check_resource(force_analysis=True) — SURVEY §3.2)
+    if force_analysis is not None:
+        fa = F.broadcast(
+            force_analysis.select(F.col("resource_id").alias("_farid")).distinct()
+        )
+        cur = cur.join(fa, cur.resource_id == F.col("_farid"), "left").withColumn(
+            "_force_analysis", F.col("_farid").isNotNull()
+        ).drop("_farid")
+    else:
+        cur = cur.withColumn("_force_analysis", F.lit(False))
     parseable = (
-        (F.col("change_status") != "unchanged")
+        ((F.col("change_status") != "unchanged") | F.col("_force_analysis"))
         & F.col("mime_type").isin("text/csv", "application/gzip", XLSX_MIME, XLS_MIME)
         & F.col("status").isNotNull()
         & (F.col("status") < 400)

@@ -299,11 +299,15 @@ class FrontierTable:
         if not self.deltas.exists():
             return base
         d = self.deltas.read(spark)
-        w = Window.partitionBy("_urid").orderBy(F.desc("_delta_round"))
+        # _upd_at breaks same-round ties: an on-demand 'prioritize' delta
+        # lands on the last COMMITTED round id (so crash-pruning cannot
+        # drop it) but timestamps after that round's own updates
+        w = Window.partitionBy("_urid").orderBy(F.desc("_delta_round"), F.desc("_upd_at"))
         latest = d.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
         j = base.join(latest, base.resource_id == latest._urid, "left")
         checked = F.col("_upd") == "checked"
         backoff = F.col("_upd") == "backoff"
+        prioritize = F.col("_upd") == "prioritize"
         return (
             j.withColumn(
                 "last_check",
@@ -316,11 +320,15 @@ class FrontierTable:
                 .otherwise(F.col("status")),
             )
             .withColumn(
-                "priority", F.when(checked, F.lit(False)).otherwise(F.col("priority"))
+                "priority",
+                F.when(checked, F.lit(False))
+                .when(prioritize, F.lit(True))
+                .otherwise(F.col("priority")),
             )
             .withColumn(
                 "status_since",
-                F.when(F.col("_upd").isNotNull(), F.col("_upd_at")).otherwise(
+                # prioritize doesn't change status, so it keeps status_since
+                F.when(checked | backoff, F.col("_upd_at")).otherwise(
                     F.col("status_since")
                 ),
             )
