@@ -103,6 +103,14 @@ def simulate_fetch(
     is_gzip = F.hex(F.substring(F.col("html"), 1, 2)) == "1F8B"
     is_zip = F.hex(F.substring(F.col("html"), 1, 4)) == "504B0304"
     is_ole2 = F.hex(F.substring(F.col("html"), 1, 8)) == XLS_MAGIC.hex().upper()
+    # media magics (utils/file.py's python-magic would report these too);
+    # media mimes skip the tabular-analysis gate downstream
+    is_png = F.hex(F.substring(F.col("html"), 1, 8)) == "89504E470D0A1A0A"
+    is_jpeg = F.hex(F.substring(F.col("html"), 1, 2)) == "FFD8"
+    is_gif = F.hex(F.substring(F.col("html"), 1, 4)) == "47494638"
+    is_wav = (F.hex(F.substring(F.col("html"), 1, 4)) == "52494646") & (
+        F.hex(F.substring(F.col("html"), 9, 4)) == "57415645"
+    )
     # lenient UTF-8 (cast, not decode): gzip bodies are not valid UTF-8
     # and Spark 4's decode() raises on malformed input
     head = F.substring(F.col("html"), 1, 200).cast("string")
@@ -112,6 +120,10 @@ def simulate_fetch(
         F.when(is_gzip, F.lit("application/gzip"))
         .when(is_zip, F.lit(XLSX_MIME))
         .when(is_ole2, F.lit(XLS_MIME))
+        .when(is_png, F.lit("image/png"))
+        .when(is_jpeg, F.lit("image/jpeg"))
+        .when(is_gif, F.lit("image/gif"))
+        .when(is_wav, F.lit("audio/x-wav"))
         .when(head.startswith("<html"), F.lit("text/html"))
         .when(looks_csv, F.lit("text/csv"))
         .otherwise(F.lit("text/plain"))

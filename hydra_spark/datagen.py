@@ -160,6 +160,60 @@ def generate_pages(
     )
 
 
+def generate_media_pages(
+    spark: SparkSession, n: int, n_hosts: int = 10, seed: int = 7
+) -> DataFrame:
+    """Media-asset pages for the multimodal crawl path: real PNG images
+    (even ids) and PCM WAV clips (odd ids), deterministically generated
+    per id executor-side (numpy seeded by (seed, id)) — same schema as
+    `generate_pages` so the frontier/crawl machinery runs unchanged."""
+    import io
+    import wave
+
+    base = spark.range(n).select(
+        F.col("id").alias("page_id"),
+        F.concat(
+            F.lit("https://media"), (F.col("id") % n_hosts).cast("string"),
+            F.lit(".example.com/asset/"), F.col("id").cast("string"),
+            F.when(F.col("id") % 2 == 0, F.lit(".png")).otherwise(F.lit(".wav")),
+        ).alias("url"),
+        (F.to_timestamp(F.lit(BASE_TS))
+         + F.make_interval(secs=(F.col("id") * 53 % 864000).cast("double"))).alias("warc_ts"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hydra_spark.ml.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for pid in pdf["page_id"]:
+                rng = np.random.default_rng((seed, int(pid)))
+                if pid % 2 == 0:
+                    px = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+                    payloads.append(encode_png(px))
+                else:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(2000)
+                        samples = (rng.standard_normal(1000) * 8000).astype("<i2")
+                        w.writeframes(samples.tobytes())
+                    payloads.append(buf.getvalue())
+            yield pd.DataFrame({
+                "url": pdf["url"], "warc_ts": pdf["warc_ts"],
+                "html": payloads, "text": [""] * len(pdf),
+                "lang": [None] * len(pdf),
+            })
+
+    return base.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
 def generate_robots_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
     """(domain, body): one robots.txt fetch per host of the corpus.
     Every fifth host (same murmur3 rule as synthetic_robots_rules)
