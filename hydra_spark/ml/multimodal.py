@@ -243,23 +243,71 @@ def decode_png(payload: bytes) -> np.ndarray:
     return pixels
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Stdlib GIF decode → (H, W, 3) uint8: LZW-decompress the first
-    image descriptor, map through the active (local > global) color
-    table, deinterlace when flagged. Scope: first frame only —
-    animation frames / transparency compositing need a real codec."""
+def _gif_lzw(data: bytes, min_code: int) -> list[int]:
+    """GIF LZW decode over a little-endian bitstream with variable code
+    width (CLEAR resets the dictionary; KwKwK handled)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    dictionary = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    acc = nbits = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dictionary = {i: (i,) for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                nbits = 0
+                acc = 0
+                break
+            if prev is None:
+                entry = dictionary[code]
+            elif code in dictionary:
+                entry = dictionary[code]
+                dictionary[next_code] = prev + (entry[0],)
+                next_code += 1
+            else:  # KwKwK case
+                entry = prev + (prev[0],)
+                dictionary[next_code] = entry
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def gif_frames(payload: bytes):
+    """Animated-GIF frame iterator: yields (delay_ms, canvas) with full
+    compositing — GCE transparency, disposal none/keep(1)/
+    restore-background(2)/restore-previous(3). `canvas` is the logical
+    screen as (H, W, 3) uint8 AFTER the frame is drawn."""
     import struct
 
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 ** ((flags & 0x07) + 1)
         gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy().astype(np.uint8)
+    gce = None  # (disposal, delay_ms, transparent_idx | None)
+    yielded = False
 
     def skip_subblocks(p):
         while b[p] != 0:
@@ -268,10 +316,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
     while pos < len(b):
         marker = b[pos]
-        if marker == 0x21:  # extension: skip label + sub-blocks
+        if marker == 0x21:
+            label = b[pos + 1]
+            if label == 0xF9 and b[pos + 2] >= 4:  # graphic control extension
+                packed, delay = struct.unpack_from("<BH", b, pos + 3)
+                tidx = b[pos + 6] if packed & 0x01 else None
+                gce = ((packed >> 2) & 0x07, delay * 10, tidx)
             pos = skip_subblocks(pos + 2)
         elif marker == 0x2C:  # image descriptor
-            _, _, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
             pos += 10
             table = gct
             if iflags & 0x80:  # local color table
@@ -287,47 +340,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 ln = b[pos]
                 data += b[pos + 1 : pos + 1 + ln]
                 pos += ln + 1
-
-            # LZW over a little-endian bitstream with variable code width
-            clear, eoi = 1 << min_code, (1 << min_code) + 1
-            dictionary = {i: (i,) for i in range(clear)}
-            next_code = eoi + 1
-            width = min_code + 1
-            acc = nbits = 0
-            out: list[int] = []
-            prev: tuple | None = None
-            for byte in data:
-                acc |= byte << nbits
-                nbits += 8
-                while nbits >= width:
-                    code = acc & ((1 << width) - 1)
-                    acc >>= width
-                    nbits -= width
-                    if code == clear:
-                        dictionary = {i: (i,) for i in range(clear)}
-                        next_code = eoi + 1
-                        width = min_code + 1
-                        prev = None
-                        continue
-                    if code == eoi:
-                        nbits = 0
-                        acc = 0
-                        break
-                    if prev is None:
-                        entry = dictionary[code]
-                    elif code in dictionary:
-                        entry = dictionary[code]
-                        dictionary[next_code] = prev + (entry[0],)
-                        next_code += 1
-                    else:  # KwKwK case
-                        entry = prev + (prev[0],)
-                        dictionary[next_code] = entry
-                        next_code += 1
-                    out.extend(entry)
-                    prev = entry
-                    if next_code == (1 << width) and width < 12:
-                        width += 1
-            idx = np.array(out[: w * h], dtype=np.intp).reshape(h, w)
+            idx = np.array(_gif_lzw(data, min_code)[: w * h], dtype=np.intp).reshape(h, w)
             if iflags & 0x40:  # interlaced: rows arrive in 4 passes
                 order = (
                     list(range(0, h, 8)) + list(range(4, h, 8))
@@ -336,12 +349,35 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 de = np.empty_like(idx)
                 de[order] = idx
                 idx = de
-            return table[idx]
+            disposal, delay_ms, tidx = gce if gce else (0, 0, None)
+            saved = canvas.copy() if disposal == 3 else None
+            region = canvas[y0 : y0 + h, x0 : x0 + w]
+            rgb = table[idx]
+            if tidx is not None:
+                mask = idx != tidx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            yielded = True
+            yield delay_ms, canvas.copy()
+            if disposal == 2:  # restore background in the frame rect
+                canvas[y0 : y0 + h, x0 : x0 + w] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            gce = None
         elif marker == 0x3B:  # trailer
             break
         else:
             pos += 1
-    raise ValueError("GIF has no image descriptor")
+    if not yielded:
+        raise ValueError("GIF has no image descriptor")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Stdlib GIF decode → (H, W, 3) uint8: the first composited frame
+    of `gif_frames` (full LZW, palette mapping, deinterlace,
+    transparency over the background)."""
+    return next(iter(gif_frames(payload)))[1]
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -632,9 +668,13 @@ def probe_image_meta(assets: DataFrame) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
-    """Frame sampling for video assets: emits one row per sampled frame
-    (frame payload = stubbed slice of the source bytes). Real frame
-    extraction would shell to ffmpeg per Arrow batch."""
+    """Frame sampling for video assets: one row per sampled frame.
+
+    Animated GIFs sample REAL frames regardless of `fake` — gif_frames
+    composites the animation and the frame active at each `every_ms`
+    tick is re-encoded as PNG. Other codecs: `fake=True` emits stubbed
+    byte-slice frames (plumbing path); `fake=False` raises (real video
+    decode needs ffmpeg)."""
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),
@@ -650,13 +690,25 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) ->
             for aid, mt, payload, meta in pdf[
                 ["asset_id", "media_type", "payload", "meta"]
             ].itertuples(index=False):
-                if mt != "video" or payload is None or meta is None:
+                if mt != "video" or payload is None:
+                    continue
+                b = bytes(payload)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = list(gif_frames(b))
+                    starts, t = [], 0
+                    for delay, _ in frames:
+                        starts.append(t)
+                        t += max(delay, 10)  # 0-delay frames tick at 10 ms
+                    for i, ts in enumerate(range(0, max(t, 1), every_ms)):
+                        fi = max(j for j, s in enumerate(starts) if s <= ts)
+                        rows.append((int(aid), i, ts, encode_png(frames[fi][1])))
                     continue
                 if not fake:
                     raise NotImplementedError("video decode requires ffmpeg")
+                if meta is None:
+                    continue
                 duration = meta["duration_ms"] or 0
                 n = max(duration // every_ms, 0)
-                b = bytes(payload)
                 for i in range(n):
                     lo = (i * len(b)) // max(n, 1)
                     rows.append((int(aid), i, i * every_ms, b[lo : lo + 64]))

@@ -831,3 +831,109 @@ def test_png_16bit_interlaced():
     px16 = rng.integers(0, 65536, size=(10, 6, 3), dtype=np.uint16)
     got = decode_png(_encode_png_v2(px16, depth=16, interlace=1))
     assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+
+
+def _gif_lzw_blocks(idx_rows, depth):
+    """Degenerate-LZW entropy block (CLEAR before every literal)."""
+    min_code = max(depth, 2)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    codes = []
+    for v in idx_rows.reshape(-1):
+        codes += [clear, int(v)]
+    codes.append(eoi)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out = bytes([min_code])
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + bytes(block)
+    return out + b"\x00"
+
+
+def _encode_animated_gif(sw, sh, palette, frames):
+    """frames: list of (x0, y0, idx_2d, delay_ms, transparent_idx|None,
+    disposal)."""
+    import struct
+
+    import numpy as np
+
+    n = len(palette)
+    depth = max((n - 1).bit_length(), 1)
+    pal = np.zeros((2 ** depth, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    for x0, y0, idx, delay_ms, tidx, disposal in frames:
+        packed = (disposal & 0x07) << 2 | (1 if tidx is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed, delay_ms // 10, tidx if tidx is not None else 0
+        ) + b"\x00"
+        h, w = idx.shape
+        out += b"\x2c" + struct.pack("<HHHHB", x0, y0, w, h, 0)
+        out += _gif_lzw_blocks(idx, depth)
+    return out + b"\x3b"
+
+
+def test_gif_frames_animation_and_compositing():
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_gif, gif_frames
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f1 = np.full((4, 4), 1, dtype=np.intp)           # all red
+    f2 = np.array([[2, 3], [3, 2]], dtype=np.intp)   # partial 2x2 at (1,1)
+    f3 = np.array([[0, 2], [2, 0]], dtype=np.intp)   # transparent idx 0
+    gif = _encode_animated_gif(4, 4, palette, [
+        (0, 0, f1, 100, None, 1),
+        (1, 1, f2, 100, None, 1),
+        (1, 1, f3, 100, 0, 1),
+    ])
+    frames = list(gif_frames(gif))
+    assert [d for d, _ in frames] == [100, 100, 100]
+    c1, c2, c3 = (c for _, c in frames)
+    assert np.array_equal(c1, palette[f1])
+    # frame 2 drew only its rect; the rest stays red
+    assert np.array_equal(c2[1:3, 1:3], palette[f2])
+    assert np.array_equal(c2[0, :], palette[np.full(4, 1)])
+    # frame 3: transparent pixels keep frame 2's content underneath
+    assert np.array_equal(c3[1, 2], palette[2])     # drawn (idx 2)
+    assert np.array_equal(c3[1, 1], palette[f2][0, 0])  # transparent -> kept
+    # decode_gif == first composited frame
+    assert np.array_equal(decode_gif(gif), c1)
+
+
+def test_sample_frames_real_gif(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from hydra_spark.ml.multimodal import decode_png, sample_frames
+
+    palette = np.array([[10, 10, 10], [200, 50, 50]], np.uint8)
+    f1 = np.zeros((3, 3), dtype=np.intp)
+    f2 = np.ones((3, 3), dtype=np.intp)
+    gif = _encode_animated_gif(3, 3, palette, [
+        (0, 0, f1, 100, None, 1),
+        (0, 0, f2, 100, None, 1),
+    ])
+    assets = spark.createDataFrame([
+        Row(asset_id=0, media_type="video", payload=bytearray(gif),
+            meta=Row(width=3, height=3, duration_ms=200, codec="gif")),
+    ])
+    rows = sorted(sample_frames(assets, every_ms=50, fake=False).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_ts_ms for r in rows] == [0, 50, 100, 150]
+    first = decode_png(bytes(rows[0].frame_payload))
+    last = decode_png(bytes(rows[-1].frame_payload))
+    assert np.array_equal(first, palette[f1])
+    assert np.array_equal(last, palette[f2])
