@@ -1,19 +1,21 @@
-"""PMTiles sink (S14) — stdlib, Spark-first, Point-feature subset.
+"""PMTiles sink (S14) — stdlib, Spark-first.
 
 Reference: data_formats/geojson/to_pmtiles.py:16-47 shells out to
 tippecanoe (`--maximum-zoom=g -o file.pmtiles`) to turn a GeoJSON
 resource into a PMTiles v3 archive of MVT tiles. tippecanoe does not
-ship in this container, and its full pipeline (polygon clipping,
-simplification, densest-coalescing) is out of scope — but the part a
-crawl-scale engine needs IS Spark-shaped: assign features to slippy
-tiles (pure column math, scales to any corpus), encode each tile's
-features as Mapbox Vector Tile protobuf (one applyInPandas over the
-(z,x,y) groups — embarrassingly parallel), and pack the archive (a
-driver-side sequential write over the tiny per-tile blobs, streamed in
-Hilbert order). Scope: Point geometries, `-zg`-style max-zoom guess,
-gzip tiles, single root directory (no leaf dirs — fine for the
-per-resource tile counts hydra produces; the format allows 16k+ root
-entries).
+ship in this container — but the part a crawl-scale engine needs IS
+Spark-shaped: assign features to slippy tiles (column math for points;
+a mapInPandas bbox fan-out + rectangle clip + Douglas–Peucker simplify
+for lines/polygons — geomclip.py), encode each tile's features as
+Mapbox Vector Tile protobuf (one applyInPandas over the (z,x,y) groups
+— embarrassingly parallel), and pack the archive (a driver-side
+sequential write over the tiny per-tile blobs, streamed in Hilbert
+order). Scope: Point/LineString/Polygon (+Multi*) geometries with
+per-tile clipping, per-zoom simplification and spec ring orientation;
+`-zg`-style max-zoom guess; gzip tiles; single root directory (no leaf
+dirs — fine for the per-resource tile counts hydra produces). NOT
+attempted from tippecanoe: feature dropping/coalescing heuristics and
+exact topology for holes crossing tile edges.
 
 Format references (public specs):
 - PMTiles v3 header/directory layout: github.com/protomaps/PMTiles
@@ -102,6 +104,155 @@ def assign_tiles(df: DataFrame, geo: dict, zooms: list[int]) -> DataFrame:
     return res
 
 
+def _project(lon: float, lat: float, zoom: int) -> tuple[float, float]:
+    """Web-Mercator world-pixel coordinates at `zoom` (EXTENT px/tile)."""
+    n = float(1 << zoom)
+    lat = max(-MAX_LAT, min(MAX_LAT, lat))
+    x = (lon + 180.0) / 360.0 * n * EXTENT
+    lat_r = math.radians(lat)
+    y = (1.0 - math.log(math.tan(lat_r) + 1.0 / math.cos(lat_r)) / math.pi) / 2.0 * n * EXTENT
+    return x, y
+
+
+def _geojson_primitives(geom: dict) -> tuple[int, list]:
+    """Normalize a GeoJSON geometry to (mvt_type, primitives):
+    type 1 → [ [lon,lat], ... ] points
+    type 2 → [ line=[ [lon,lat], ... ], ... ]
+    type 3 → [ polygon=[ ring, ... ], ... ] (ring 0 exterior)"""
+    t, c = geom["type"], geom.get("coordinates")
+    if t == "Point":
+        return 1, [c]
+    if t == "MultiPoint":
+        return 1, list(c)
+    if t == "LineString":
+        return 2, [c]
+    if t == "MultiLineString":
+        return 2, list(c)
+    if t == "Polygon":
+        return 3, [c]
+    if t == "MultiPolygon":
+        return 3, list(c)
+    raise ValueError(f"unsupported GeoJSON geometry {t!r}")
+
+
+def assign_tiles_geojson(
+    df: DataFrame, geom_col: str, zooms: list[int], buffer_px: int = 8,
+    simplify_px: float = 1.0,
+) -> DataFrame:
+    """(z, x, y, gtype, geom, props) — one row per (feature, zoom, tile
+    its bbox touches), geometry clipped to the buffered tile square and
+    Douglas–Peucker-simplified in tile pixels. This is the tippecanoe
+    subset: rectangle clipping + per-zoom simplification (no polygon
+    merging/dropping heuristics). Holes are clipped per-ring — exact for
+    holes fully inside the tile (degenerate hole-crossing-edge topology
+    is approximated). mapInPandas: each feature fans out independently,
+    no shuffle until the per-tile groupBy in encode_tiles."""
+    import pandas as pd
+
+    from hydra_spark.exports.geomclip import clip_line, clip_ring, signed_area, simplify
+
+    props_cols = [c for c in df.columns if c != geom_col]
+    src = df.where(F.col(geom_col).isNotNull()).select(
+        F.col(geom_col).alias("_geom"),
+        F.to_json(F.struct(*[F.col(p) for p in props_cols])).alias("props"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for gstr, props in pdf[["_geom", "props"]].itertuples(index=False):
+                try:
+                    gtype, prims = _geojson_primitives(json.loads(gstr))
+                except (ValueError, KeyError, TypeError):
+                    continue
+                for z in zooms:
+                    rows += _tile_rows(gtype, prims, props, z, buffer_px, simplify_px,
+                                       clip_line, clip_ring, signed_area, simplify)
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "gtype", "geom", "props"]
+            )
+
+    return src.mapInPandas(gen, schema="z int, x int, y int, gtype int, geom string, props string")
+
+
+def _tile_rows(gtype, prims, props, z, buffer_px, simplify_px,
+               clip_line, clip_ring, signed_area, simplify):
+    """Project → per-intersecting-tile clip/simplify → integer parts."""
+    nmax = 1 << z
+    if gtype == 1:
+        proj = [[_project(lon, lat, z)] for lon, lat in prims]
+    elif gtype == 2:
+        proj = [[_project(lon, lat, z) for lon, lat in line] for line in prims]
+    else:
+        proj = [
+            [[_project(lon, lat, z) for lon, lat in ring] for ring in poly]
+            for poly in prims
+        ]
+    flat = [
+        p
+        for prim in proj
+        for p in (prim if gtype != 3 else [q for ring in prim for q in ring])
+    ]
+    if not flat:
+        return []
+    xs = [p[0] for p in flat]
+    ys = [p[1] for p in flat]
+    tx0 = max(int((min(xs) - buffer_px) // EXTENT), 0)
+    tx1 = min(int((max(xs) + buffer_px) // EXTENT), nmax - 1)
+    ty0 = max(int((min(ys) - buffer_px) // EXTENT), 0)
+    ty1 = min(int((max(ys) + buffer_px) // EXTENT), nmax - 1)
+    lo, hi = -float(buffer_px), float(EXTENT + buffer_px)
+    out = []
+    for tx in range(tx0, tx1 + 1):
+        for ty in range(ty0, ty1 + 1):
+            ox, oy = tx * EXTENT, ty * EXTENT
+            parts = []
+            if gtype == 1:
+                pts = [
+                    (round(p[0] - ox), round(p[1] - oy))
+                    for prim in proj
+                    for p in prim
+                    if lo <= p[0] - ox <= hi and lo <= p[1] - oy <= hi
+                ]
+                if pts:
+                    parts = [[list(p) for p in pts]]
+            elif gtype == 2:
+                for line in proj:
+                    local = [(p[0] - ox, p[1] - oy) for p in line]
+                    for seg in clip_line(simplify(local, simplify_px), lo, hi):
+                        ints = _dedupe_int([(round(x), round(y)) for x, y in seg])
+                        if len(ints) >= 2:
+                            parts.append([list(p) for p in ints])
+            else:
+                for poly in proj:
+                    for ri, ring in enumerate(poly):
+                        local = [(p[0] - ox, p[1] - oy) for p in ring]
+                        if local and local[0] == local[-1]:
+                            local = local[:-1]
+                        clipped = clip_ring(simplify(local, simplify_px), lo, hi)
+                        ints = _dedupe_int([(round(x), round(y)) for x, y in clipped])
+                        if len(ints) < 3 or abs(signed_area(ints)) < 1:
+                            continue
+                        # MVT orientation: exterior positive, holes negative
+                        # (tile y-down, surveyor's formula)
+                        area = signed_area(ints)
+                        if (ri == 0) != (area > 0):
+                            ints = ints[::-1]
+                        parts.append([list(p) for p in ints])
+            if parts:
+                out.append((z, tx, ty, gtype, json.dumps(parts), props))
+    return out
+
+
+def _dedupe_int(pts):
+    """Drop consecutive duplicates created by integer rounding."""
+    out = []
+    for p in pts:
+        if not out or out[-1] != p:
+            out.append(p)
+    return out
+
+
 # ----------------------------------------------------------- MVT encode
 
 def _varint(v: int) -> bytes:
@@ -125,13 +276,47 @@ def _field(num: int, wire: int, payload: bytes | int) -> bytes:
     return key + _varint(payload)
 
 
-def encode_mvt(features: list[tuple[int, int, str]], layer_name: str = "features") -> bytes:
-    """MVT layer of Point features: [(fx, fy, props_json)] → tile bytes.
-    Keys/values deduplicated per tile like the spec requires."""
+def _geom_bytes(gtype: int, parts: list[list[list[int]]]) -> bytes:
+    """MVT command-stream geometry: MoveTo/LineTo/ClosePath with a
+    running cursor and zigzag deltas. parts: list of point-lists
+    (points: any grouping; lines: one per part; polygons: one per
+    ring, orientation already enforced)."""
+    out = bytearray()
+    cx = cy = 0
+
+    def rel(pts) -> bytes:
+        nonlocal cx, cy
+        b = bytearray()
+        for x, y in pts:
+            b += _varint(_zigzag(int(x) - cx)) + _varint(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        return bytes(b)
+
+    if gtype == 1:
+        pts = [p for part in parts for p in part]
+        out += _varint((len(pts) << 3) | 1) + rel(pts)
+    elif gtype == 2:
+        for part in parts:
+            out += _varint((1 << 3) | 1) + rel(part[:1])
+            out += _varint(((len(part) - 1) << 3) | 2) + rel(part[1:])
+    elif gtype == 3:
+        for ring in parts:
+            out += _varint((1 << 3) | 1) + rel(ring[:1])
+            out += _varint(((len(ring) - 1) << 3) | 2) + rel(ring[1:])
+            out += _varint((1 << 3) | 7)  # ClosePath
+    else:
+        raise ValueError(f"MVT geometry type {gtype}")
+    return bytes(out)
+
+
+def encode_mvt(features: list[tuple[int, list, str]], layer_name: str = "features") -> bytes:
+    """MVT layer: [(gtype, parts, props_json)] → tile bytes (gtype
+    1=point 2=linestring 3=polygon). Keys/values deduplicated per tile
+    like the spec requires."""
     keys: dict[str, int] = {}
     values: dict[str, int] = {}
     feats = b""
-    for fid, (fx, fy, props_json) in enumerate(features):
+    for fid, (gtype, parts, props_json) in enumerate(features):
         tags = bytearray()
         for k, v in (json.loads(props_json) if props_json else {}).items():
             if v is None:
@@ -140,12 +325,11 @@ def encode_mvt(features: list[tuple[int, int, str]], layer_name: str = "features
             ki = keys.setdefault(k, len(keys))
             vi = values.setdefault(sv, len(values))
             tags += _varint(ki) + _varint(vi)
-        geom = _varint((1 << 3) | 1) + _varint(_zigzag(fx)) + _varint(_zigzag(fy))
         body = (
             _field(1, 0, fid + 1)
             + _field(2, 2, bytes(tags))
-            + _field(3, 0, 1)  # POINT
-            + _field(4, 2, geom)
+            + _field(3, 0, gtype)
+            + _field(4, 2, _geom_bytes(gtype, parts))
         )
         feats += _field(2, 2, body)
     layer = (
@@ -161,13 +345,27 @@ def encode_mvt(features: list[tuple[int, int, str]], layer_name: str = "features
 
 def encode_tiles(assigned: DataFrame) -> DataFrame:
     """(z, x, y) → MVT bytes: ONE applyInPandas over the tile groups —
-    each tile encodes independently, so this scales with tile count."""
+    each tile encodes independently, so this scales with tile count.
+    Accepts the point schema (fx, fy, props) or the geometry schema
+    (gtype, geom, props) from assign_tiles_geojson."""
     import pandas as pd
+
+    geom_mode = "geom" in assigned.columns
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
-        pdf = pdf.sort_values(["fy", "fx", "props"], kind="mergesort")
-        feats = list(zip(pdf["fx"].astype(int), pdf["fy"].astype(int), pdf["props"]))
+        if geom_mode:
+            pdf = pdf.sort_values(["gtype", "geom", "props"], kind="mergesort")
+            feats = [
+                (int(g), json.loads(parts), props)
+                for g, parts, props in zip(pdf["gtype"], pdf["geom"], pdf["props"])
+            ]
+        else:
+            pdf = pdf.sort_values(["fy", "fx", "props"], kind="mergesort")
+            feats = [
+                (1, [[[int(fx), int(fy)]]], props)
+                for fx, fy, props in zip(pdf["fx"], pdf["fy"], pdf["props"])
+            ]
         return pd.DataFrame({"z": [z], "x": [x], "y": [y], "tile": [encode_mvt(feats)]})
 
     return assigned.groupBy("z", "x", "y").applyInPandas(
@@ -231,7 +429,10 @@ def export_pmtiles(
     if max_zoom is None:
         max_zoom = guess_max_zoom(n)  # tippecanoe --maximum-zoom=g analog
     zooms = list(range(min_zoom, max_zoom + 1))
-    assigned = assign_tiles(df, geo, zooms)
+    if geo["kind"] == "geojson":
+        assigned = assign_tiles_geojson(df, geo["col"], zooms)
+    else:
+        assigned = assign_tiles(df, geo, zooms)
     tiles = encode_tiles(assigned)
 
     entries = []
@@ -295,10 +496,11 @@ def export_pmtiles(
     }
 
 
-def decode_mvt_points(tile: bytes) -> list[dict]:
-    """Minimal MVT decoder for our own Point tiles (tests + sanity):
-    [{'fx', 'fy', 'props'}] per feature, tags resolved through the
-    layer's key/value tables."""
+def decode_mvt_features(tile: bytes) -> list[dict]:
+    """MVT decoder for our own tiles (tests + sanity): parses the
+    command stream back into [{'gtype', 'parts', 'props'}] — points,
+    linestrings and polygons (parts = absolute [x, y] vertex lists; a
+    polygon ring's ClosePath is implicit)."""
 
     def fields(buf: bytes):
         pos = 0
@@ -369,11 +571,46 @@ def decode_mvt_points(tile: bytes) -> list[dict]:
                     gtype = fv
                 elif fn == 4:
                     geom = varints(fv)
-            assert gtype == 1 and geom[0] == 9, "point tile expected"
             zz = lambda v: (v >> 1) ^ -(v & 1)
+            parts, cur = [], []
+            cx = cy = 0
+            i = 0
+            while i < len(geom):
+                cmd = geom[i]
+                i += 1
+                cid, count = cmd & 0x7, cmd >> 3
+                if cid in (1, 2):
+                    for _ in range(count):
+                        cx += zz(geom[i])
+                        cy += zz(geom[i + 1])
+                        i += 2
+                        if cid == 1:
+                            if cur:
+                                parts.append(cur)
+                            cur = [[cx, cy]]
+                        else:
+                            cur.append([cx, cy])
+                elif cid == 7:  # ClosePath: ring complete (implicit edge)
+                    pass
+                else:
+                    raise ValueError(f"MVT command {cid}")
+            if cur:
+                parts.append(cur)
             props = {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags), 2)}
-            feats_out.append({"fx": zz(geom[1]), "fy": zz(geom[2]), "props": props})
+            feats_out.append({"gtype": gtype, "parts": parts, "props": props})
     return feats_out
+
+
+def decode_mvt_points(tile: bytes) -> list[dict]:
+    """Point-tile view of `decode_mvt_features` (back-compat for the
+    Point path's tests)."""
+    out = []
+    for f in decode_mvt_features(tile):
+        assert f["gtype"] == 1, "point tile expected"
+        for part in f["parts"]:
+            for x, y in part:
+                out.append({"fx": x, "fy": y, "props": f["props"]})
+    return out
 
 
 # ------------------------------------------------- minimal reader (tests)

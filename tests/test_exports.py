@@ -135,3 +135,124 @@ def test_pmtiles_hilbert_ids():
     assert hilbert_tile_id(1, 0, 0) == 1  # curve starts bottom-left quadrant order
     z2 = [hilbert_tile_id(2, x, y) for x in range(4) for y in range(4)]
     assert sorted(z2) == list(range(5, 21))
+
+
+class TestGeomClip:
+    def test_clip_ring_square(self):
+        from hydra_spark.exports.geomclip import clip_ring
+
+        r = [(-5, -5), (15, -5), (15, 15), (-5, 15)]
+        got = clip_ring(r, 0, 10)
+        assert sorted(got) == [(0.0, 0), (0.0, 10), (10.0, 0), (10.0, 10)]
+        assert clip_ring([(20, 20), (30, 20), (30, 30)], 0, 10) == []
+
+    def test_clip_line_splits(self):
+        from hydra_spark.exports.geomclip import clip_line
+
+        l = [(-5, 5), (5, 5), (5, 20), (8, 20), (8, 5), (15, 5)]
+        parts = clip_line(l, 0, 10)
+        assert len(parts) == 2
+        assert parts[0][0] == (0.0, 5.0) and parts[1][-1] == (10.0, 5.0)
+
+    def test_simplify_keeps_corners(self):
+        from hydra_spark.exports.geomclip import simplify
+
+        pts = [(0, 0), (1, 0.01), (2, 0.0), (3, 5.0), (4, 5.01), (5, 5.0)]
+        got = simplify(pts, 0.5)
+        assert got[0] == (0, 0) and got[-1] == (5, 5.0)
+        assert (3, 5.0) in got or (2, 0.0) in got  # the corner survives
+        assert len(got) < len(pts)
+
+    def test_signed_area_orientation(self):
+        from hydra_spark.exports.geomclip import signed_area
+
+        ccw = [(0, 0), (10, 0), (10, 10), (0, 10)]
+        assert signed_area(ccw) > 0
+        assert signed_area(ccw[::-1]) < 0
+
+
+def test_pmtiles_polygon_and_line_tiles(spark, tmp_path):
+    """Geometry path: polygon + linestring clipped across tiles, MVT
+    command-stream roundtrip, spec ring orientation."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from hydra_spark.exports.pmtiles import (
+        EXTENT,
+        assign_tiles_geojson,
+        decode_mvt_features,
+        encode_tiles,
+    )
+    from hydra_spark.exports.geomclip import signed_area
+
+    # a polygon straddling the z=1 tile boundary (lon 0), with a hole
+    poly = {"type": "Polygon", "coordinates": [
+        [[-30.0, -20.0], [40.0, -20.0], [40.0, 30.0], [-30.0, 30.0], [-30.0, -20.0]],
+        [[-5.0, -5.0], [5.0, -5.0], [5.0, 5.0], [-5.0, 5.0], [-5.0, -5.0]],
+    ]}
+    line = {"type": "LineString", "coordinates": [[-60.0, 10.0], [60.0, 10.0]]}
+    df = spark.createDataFrame([
+        Row(name="poly", geometry=_json.dumps(poly)),
+        Row(name="line", geometry=_json.dumps(line)),
+    ])
+    assigned = assign_tiles_geojson(df, "geometry", [1]).cache()
+    rows = assigned.collect()
+    # polygon bbox crosses lon 0 -> tiles x=0 and x=1 at z=1
+    poly_tiles = {(r.x, r.y) for r in rows if r.gtype == 3}
+    assert poly_tiles == {(0, 0), (0, 1), (1, 0), (1, 1)}  # bbox spans both hemispheres
+    for r in rows:
+        for part in _json.loads(r.geom):
+            for x, y in part:
+                assert -8 <= x <= EXTENT + 8 and -8 <= y <= EXTENT + 8
+        if r.gtype == 3:
+            parts = _json.loads(r.geom)
+            assert signed_area(parts[0]) > 0  # exterior ring positive
+            for hole in parts[1:]:
+                assert signed_area(hole) < 0
+
+    tiles = {(r.z, r.x, r.y): bytes(r.tile) for r in encode_tiles(assigned).collect()}
+    feats = decode_mvt_features(tiles[(1, 0, 0)])
+    by_type = {f["gtype"]: f for f in feats}
+    assert set(by_type) == {2, 3}
+    # decoded polygon vertices match the assigned ones
+    want = _json.loads(next(r.geom for r in rows if r.gtype == 3 and (r.x, r.y) == (0, 0)))
+    assert by_type[3]["parts"] == want
+    assert by_type[3]["props"] == {"name": "poly"}
+    # the line got clipped into this tile with both endpoints on edges
+    lparts = by_type[2]["parts"]
+    assert all(len(p) >= 2 for p in lparts)
+
+
+def test_pmtiles_geojson_archive_e2e(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from hydra_spark.exports.pmtiles import (
+        decode_mvt_features,
+        export_pmtiles,
+        read_pmtiles,
+    )
+
+    geoms = [
+        {"type": "Point", "coordinates": [2.35, 48.85]},
+        {"type": "LineString", "coordinates": [[2.0, 48.0], [3.0, 49.0]]},
+        {"type": "Polygon", "coordinates": [
+            [[1.0, 47.0], [4.0, 47.0], [4.0, 50.0], [1.0, 50.0], [1.0, 47.0]]]},
+        {"type": "MultiPolygon", "coordinates": [
+            [[[5.0, 45.0], [6.0, 45.0], [6.0, 46.0], [5.0, 46.0], [5.0, 45.0]]]]},
+    ]
+    df = spark.createDataFrame(
+        [Row(fid=i, geometry=_json.dumps(g)) for i, g in enumerate(geoms)]
+    )
+    path = str(tmp_path / "geom.pmtiles")
+    out = export_pmtiles(df, {"kind": "geojson", "col": "geometry"}, path, max_zoom=4)
+    assert out["tiles"] > 0
+    arc = read_pmtiles(path)
+    assert arc["n_entries"] == out["tiles"]
+    types = set()
+    for tile in arc["tiles"].values():
+        for f in decode_mvt_features(tile):
+            types.add(f["gtype"])
+    assert types == {1, 2, 3}
