@@ -187,6 +187,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "v": seg[7 + 3 * c] & 0xF,
                     "tq": seg[8 + 3 * c],
                 })
+            if h * w > 64_000_000:  # decode-bomb guard (multimodal.MAX_DECODE_PIXELS)
+                raise ValueError(f"JPEG {w}x{h} exceeds the decode-bomb guard")
             frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
             state = _init_state(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -70,6 +70,10 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# decode-bomb guard: a crafted header claiming 65535x65535 would OOM the
+# executor before a single real pixel exists; all stdlib decoders check
+MAX_DECODE_PIXELS = 64_000_000
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type (palette counts as 3 after expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
@@ -211,6 +215,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if depth not in (8, 16):
         raise NotImplementedError(f"PNG depth={depth} unsupported (packed sub-byte)")
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(f"PNG {width}x{height} exceeds the decode-bomb guard")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     sb = depth // 8  # sample bytes
     bpp = nch * sb
@@ -298,6 +304,8 @@ def gif_frames(payload: bytes):
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", b, 6)
+    if sw * sh > MAX_DECODE_PIXELS:
+        raise ValueError(f"GIF {sw}x{sh} exceeds the decode-bomb guard")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -395,6 +403,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", b, 30)[0]
     if comp != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    if abs(w) * abs(h) > MAX_DECODE_PIXELS:
+        raise ValueError(f"BMP {w}x{h} exceeds the decode-bomb guard")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     rows = []
@@ -601,8 +611,10 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction — one Arrow batch at a time, no
     shuffle. fake=True → byte-histogram stand-in for every payload
     (the oracle path); fake=False → real pixel histogram for decodable
-    images (PNG/BMP/GIF) and real sample features for PCM WAV audio,
-    NotImplementedError otherwise."""
+    images (PNG/BMP/GIF/JPEG) and real sample features for PCM WAV
+    audio; payloads that don't decode (exotic codecs, truncated or
+    corrupt bytes) yield NULL features — at 100 TB a poison payload
+    must never kill the batch."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -614,10 +626,14 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
                     feats.append(None)
                 elif fake:
                     feats.append(decode_image(b, fake=True).tolist())
-                elif b[:4] == _RIFF and b[8:12] == b"WAVE":
-                    feats.append(audio_features(*decode_wav(b)).tolist())
                 else:
-                    feats.append(image_features(decode_image(b)).tolist())
+                    try:
+                        if b[:4] == _RIFF and b[8:12] == b"WAVE":
+                            feats.append(audio_features(*decode_wav(b)).tolist())
+                        else:
+                            feats.append(image_features(decode_image(b)).tolist())
+                    except Exception:
+                        feats.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

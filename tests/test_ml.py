@@ -160,11 +160,13 @@ def test_multimodal_features_and_frames(spark):
         assert r["count"] == meta[r["asset_id"]] // 1000
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_poison_to_null(spark):
+    # synthetic assets carry undecodable payloads: the real path maps
+    # them to NULL features instead of failing the batch
     assets = synthetic_assets(spark, 3)
-    import pytest as _pt
-    with _pt.raises(Exception):
-        extract_features(assets, fake=False).collect()
+    rows = extract_features(assets, fake=False).collect()
+    assert len(rows) == 3
+    assert all(r.features is None for r in rows)
 
 
 def test_ivf_topk_on_clustered_data(spark):

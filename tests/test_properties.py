@@ -191,3 +191,85 @@ def test_stratified_sample_monotone_property(spark, keys, rate):
     lo = {r.doc_id for r in stratified_sample(df, {"s": rate / 2}).collect()}
     hi = {r.doc_id for r in stratified_sample(df, {"s": rate}).collect()}
     assert lo <= hi
+
+
+# ---- multimodal decoder robustness -----------------------------------------
+
+_MAGICS = [
+    b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8\xff", b"RIFF",
+    b"GIF87a", b"",
+]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.sampled_from(_MAGICS), st.binary(max_size=400))
+def test_decoders_never_hang_on_garbage(magic, tail):
+    """Any byte soup terminates quickly with a controlled exception (or
+    decodes) — never hangs, never OOMs (decode-bomb guard). This is the
+    poison-payload contract the Spark stages rely on."""
+    from hydra_spark.ml.multimodal import (
+        decode_image,
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    payload = magic + tail
+    parse_image_header(payload)  # must never raise
+    parse_wav_header(payload)    # must never raise
+    try:
+        decode_image(payload)
+    except Exception:
+        pass  # controlled failure is fine; the stages map it to NULL
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 3000), st.binary(min_size=1, max_size=16))
+def test_decoders_survive_mutated_real_jpeg(offset, junk):
+    """Corrupting a real JPEG at an arbitrary offset must not hang or
+    crash the process — truncated/garbled entropy streams terminate."""
+    import glob
+    import os
+
+    from hydra_spark.ml.jpeg import decode_jpeg
+
+    paths = glob.glob(os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"),
+                                   "data/mllib/images/origin/kittens/*.jpg"))
+    if not paths:
+        return
+    data = bytearray(open(paths[0], "rb").read())
+    off = offset % len(data)
+    data[off : off + len(junk)] = junk
+    try:
+        decode_jpeg(bytes(data))
+    except Exception:
+        pass
+
+
+def test_decode_bomb_guard():
+    import struct
+
+    import pytest as _pt
+
+    from hydra_spark.ml.multimodal import decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    import zlib
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    bomb = b"\x89PNG\r\n\x1a\n" + chunk
+    with _pt.raises(ValueError, match="decode-bomb"):
+        decode_png(bomb)
+
+
+def test_extract_features_real_path_poison_to_null(spark):
+    from pyspark.sql import Row
+
+    from hydra_spark.ml.multimodal import extract_features
+
+    assets = spark.createDataFrame([
+        Row(asset_id=0, media_type="image", payload=bytearray(b"\x89PNG\r\n\x1a\ngarbage")),
+        Row(asset_id=1, media_type="audio", payload=bytearray(b"RIFF\x00\x00\x00\x00WAVEgarb")),
+        Row(asset_id=2, media_type="image", payload=bytearray(b"utterly unknown")),
+    ])
+    rows = {r.asset_id: r for r in extract_features(assets, fake=False).collect()}
+    assert all(rows[i].features is None for i in range(3))
