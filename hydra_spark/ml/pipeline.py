@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from hydra_spark.ml.dedup import exact_duplicates, minhash_dedup_cc, normalized
 from hydra_spark.ml.text import language_id, quality_features
+from hydra_spark.ml.webtext import repetition_features, unigram_lm_score
 
 
 def curate(
@@ -28,6 +29,8 @@ def curate(
     languages: tuple[str, ...] = ("en", "fr"),
     near_dedup: bool = False,
     near_dedup_threshold: float = 0.8,
+    max_dup_chunk_frac: float | None = None,
+    max_lm_score: float | None = None,
 ) -> DataFrame:
     """The curated corpus: quality-scored, language-gated, deduplicated
     rows with their features attached (drop them with a select).
@@ -35,7 +38,13 @@ def curate(
     Order matters at scale: the quality/language gates are stateless
     column predicates, so they run inside the scan and shrink the corpus
     BEFORE the dedup shuffle; exact dedup then shuffles only the
-    md5(normalized text) survivors."""
+    md5(normalized text) survivors.
+
+    Optional Gopher-style gates (applied BEFORE dedup, after the cheap
+    gates): ``max_dup_chunk_frac`` drops repetition soup (Gopher's
+    published dup-line threshold is 0.30 — still shuffle-free, joined on
+    id); ``max_lm_score`` drops rare-word soup via the unigram LM proxy
+    (adds the vocab aggregate + broadcast scoring join)."""
     scored = quality_features(df, text_col).withColumn(
         "lang_detected", language_id(text_col)
     )
@@ -43,6 +52,16 @@ def curate(
         (F.col("quality_score") >= min_quality)
         & F.col("lang_detected").isin(*languages)
     )
+    if max_dup_chunk_frac is not None:
+        rep = repetition_features(gated, text_col, id_col=id_col).select(
+            id_col, "dup_chunk_frac", "top_2gram_char_frac"
+        )
+        gated = gated.join(rep, id_col).where(
+            F.col("dup_chunk_frac") <= max_dup_chunk_frac
+        )
+    if max_lm_score is not None:
+        lm = unigram_lm_score(gated, text_col, id_col).select(id_col, "lm_score")
+        gated = gated.join(lm, id_col).where(F.col("lm_score") <= max_lm_score)
     deduped = (
         exact_duplicates(gated, text_col, id_col)
         .where("is_canonical")

@@ -100,7 +100,9 @@ def _top_run(sorted_arr: Column) -> Column:
     )
 
 
-def repetition_features(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+def repetition_features(
+    df: DataFrame, text_col: str = "text", k: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
     """Gopher-style repetition stats per document (Rae et al. 2021
     §A1.1), entirely as column expressions — ZERO shuffle:
 
@@ -123,12 +125,12 @@ def repetition_features(df: DataFrame, text_col: str = "text", k: int = 4) -> Da
     # six times per row. Materializing the arrays as named columns first
     # makes them per-row locals inside the same codegen stage.
     staged = df.select(
-        "doc_id",
+        id_col,
         F.length(F.col(text_col)).alias("_doc_chars"),
         chunk_segments(text_col, k).alias("_chunks"),
         F.array_sort(shingles(text_col, 2)).alias("_grams2"),
     ).select(
-        "doc_id",
+        id_col,
         "_doc_chars",
         "_chunks",
         F.array_distinct("_chunks").alias("_dis"),
@@ -142,7 +144,7 @@ def repetition_features(df: DataFrame, text_col: str = "text", k: int = 4) -> Da
     top = F.col("_top")
     doc_chars = F.col("_doc_chars")
     return staged.select(
-        "doc_id",
+        id_col,
         n.alias("n_chunks"),
         F.round((n - nd) / F.greatest(n, F.lit(1)).cast("double"), 6).alias("dup_chunk_frac"),
         F.round(

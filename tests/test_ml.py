@@ -939,3 +939,31 @@ def test_sample_frames_real_gif(spark):
     last = decode_png(bytes(rows[-1].frame_payload))
     assert np.array_equal(first, palette[f1])
     assert np.array_equal(last, palette[f2])
+
+
+def test_curate_gopher_and_lm_gates(spark):
+    from pyspark.sql import Row
+
+    from hydra_spark.ml.pipeline import curate
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox is in the barn and it naps for hours with joy"),
+        Row(doc_id=1, text="spam the spam the spam the spam the spam the spam the spam the spam"),
+        Row(doc_id=2, text="qqxzj the wvbnk of zzyxw is qpfjm in llorp and kkttg for mmnnv it ccddz"),
+    ])
+    base = {r.doc_id for r in curate(docs, min_quality=0.0, languages=("en", "fr", "unknown")).collect()}
+    assert base == {0, 1, 2}
+    rep_gated = {r.doc_id for r in curate(
+        docs, min_quality=0.0, languages=("en", "fr", "unknown"),
+        max_dup_chunk_frac=0.30,
+    ).collect()}
+    assert 1 not in rep_gated and 0 in rep_gated  # repetition soup dropped
+    lm_gated = curate(
+        docs, min_quality=0.0, languages=("en", "fr", "unknown"),
+        max_lm_score=10.0,  # loose ceiling: everything passes, plan runs
+    )
+    rows = {r.doc_id: r for r in lm_gated.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(hasattr(r, "lm_score") for r in rows.values())
+    # the rare-word doc scores strictly worse than the stopword-rich one
+    assert rows[2].lm_score > rows[0].lm_score
