@@ -880,6 +880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.corpus_token_stats(_t(spark, sf, "documents"))
 
+    def q_pack_sequences(spark, sf):  # webtext: GPT-style packing accounting
+        from hydra_spark.ml import webtext
+
+        return webtext.pack_sequences(_t(spark, sf, "documents"), window=64)
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -938,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1568,5 +1574,21 @@ def oracle_sql() -> dict[str, str]:
                               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
                   FROM documents)
             GROUP BY 1
+        """,
+        "pack_sequences": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+              FROM documents),
+            c AS (SELECT doc_id, source, nt,
+                         CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+                  FROM tok)
+            SELECT doc_id, source,
+                   CAST(nt AS INT) AS n_tokens,
+                   cum - nt AS start_offset,
+                   (cum - nt) // 64 AS seq_id,
+                   (cum - nt + greatest(nt, 1) - 1) // 64 - (cum - nt) // 64 + 1 AS seq_count
+            FROM c
         """,
     }

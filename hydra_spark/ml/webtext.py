@@ -31,7 +31,7 @@ chunks make the dedup unit deterministic. On real webtext pass
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import let_bound, shingles
@@ -46,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "redact_pii",
     "corpus_token_stats",
+    "pack_sequences",
 ]
 
 
@@ -338,6 +339,46 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text", by: str = "source"
             F.round(F.avg("_nt"), 6).alias("avg_tokens"),
             F.countDistinct(F.floor(F.col("_nt") / 32)).alias("n_size_buckets"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    window: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing accounting: documents are concatenated
+    in ``id_col`` order within each ``by`` shard and the token stream is
+    chunked into fixed ``window``-token training sequences. Returns one
+    row per document with its placement: (id, shard, n_tokens,
+    start_offset — position in the shard's token stream — seq_id — the
+    training sequence its first token lands in — and seq_count — how
+    many sequences the doc spans).
+
+    Plan: ONE window (cumulative sum over the shard, ordered by id) —
+    the packing itself is arithmetic on the running total. Shards
+    parallelize the sort; a single giant shard serializes its window at
+    scale — shard by bucket(id) when no natural source exists (same
+    answer modulo shard boundaries)."""
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    w = Window.partitionBy(by).orderBy(id_col)
+    staged = df.select(F.col(id_col), F.col(by), n_tokens.alias("n_tokens"))
+    cum = staged.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) - F.col("n_tokens")
+    )
+    end = F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return cum.select(
+        id_col,
+        by,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / window).cast("long").alias("seq_id"),
+        (F.floor(end / window) - F.floor(F.col("start_offset") / window) + 1)
+        .cast("long")
+        .alias("seq_count"),
     )
 
 

@@ -234,3 +234,36 @@ class TestStratifiedSample:
         df = self._src_docs(spark)
         plan = webtext.stratified_sample(df, {"s0": 0.5})._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPackSequences:
+    def test_contiguous_stream_chunking(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="s", text="a b c"),          # tokens 0-2
+            Row(doc_id=1, source="s", text="d e f g"),        # tokens 3-6
+            Row(doc_id=2, source="s", text="h i"),            # tokens 7-8
+        ])
+        rows = {r.doc_id: r for r in webtext.pack_sequences(df, window=4).collect()}
+        assert rows[0].start_offset == 0 and rows[0].seq_id == 0 and rows[0].seq_count == 1
+        # doc 1 spans tokens 3..6 -> sequences 0 and 1
+        assert rows[1].start_offset == 3 and rows[1].seq_id == 0 and rows[1].seq_count == 2
+        # doc 2 occupies tokens 7-8: straddles sequences 1 and 2
+        assert rows[2].start_offset == 7 and rows[2].seq_id == 1 and rows[2].seq_count == 2
+
+    def test_shards_pack_independently(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="a", text="x y z"),
+            Row(doc_id=1, source="b", text="p q r"),
+        ])
+        rows = {r.source: r for r in webtext.pack_sequences(df, window=8).collect()}
+        assert rows["a"].start_offset == 0 and rows["b"].start_offset == 0
+
+    def test_empty_doc_occupies_no_tokens_but_places(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="s", text="a b"),
+            Row(doc_id=1, source="s", text=""),
+            Row(doc_id=2, source="s", text="c"),
+        ])
+        rows = {r.doc_id: r for r in webtext.pack_sequences(df, window=4).collect()}
+        assert rows[1].n_tokens == 0 and rows[1].start_offset == 2 and rows[1].seq_count == 1
+        assert rows[2].start_offset == 2
