@@ -154,6 +154,7 @@ def main() -> None:
             "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),
             "redact_pii": lambda: webtext.redact_pii(docs),
             "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
+            "pack_sequences": lambda: webtext.pack_sequences(docs, window=64),
             "stratified_sample": lambda: webtext.stratified_sample(
                 docs.select("doc_id", "source"),
                 {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)},
