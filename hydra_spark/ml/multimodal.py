@@ -5,7 +5,8 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched `mapInPandas` stages.
 
 Decode status:
-- PNG (8/16-bit; gray/gray+alpha/RGB/RGBA/palette; Adam7 interlace),
+- PNG (1/2/4/8/16-bit; gray/gray+alpha/RGB/RGBA/palette; Adam7
+  interlace),
   uncompressed BMP (24/32-bit BI_RGB) and GIF (LZW, first frame,
   incl. interlace) decode to real pixel arrays with the stdlib alone
   (zlib + struct) — no PIL needed; PNG verified pixel-exact against
@@ -144,11 +145,11 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_unfilter(raw: bytes, off: int, height: int, width: int, bpp: int) -> tuple[np.ndarray, int]:
+def _png_unfilter(raw: bytes, off: int, height: int, stride: int, bpp: int) -> tuple[np.ndarray, int]:
     """Undo per-scanline filters for one (sub-)image of `height` rows of
-    `width * bpp` bytes each. Returns (rows array, bytes consumed).
-    `bpp` = bytes per pixel (the filter's left-neighbor distance)."""
-    stride = width * bpp
+    `stride` bytes each. Returns (rows array, bytes consumed).
+    `bpp` = the filter's left-neighbor distance in bytes (1 for packed
+    sub-byte depths per the PNG spec)."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.intc)
     for y in range(height):
@@ -213,22 +214,34 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG depth={depth} unsupported (packed sub-byte)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG depth={depth} unsupported")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"PNG depth={depth} color={color} invalid (spec)")
     if width * height > MAX_DECODE_PIXELS:
         raise ValueError(f"PNG {width}x{height} exceeds the decode-bomb guard")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    sb = depth // 8  # sample bytes
-    bpp = nch * sb
     raw = zlib.decompress(b"".join(idat))
+    if depth < 8:
+        bpp = 1  # packed rows: the filter's left-distance is one byte
+        stride_of = lambda w: (w * depth + 7) // 8
+    else:
+        bpp = nch * depth // 8
+        stride_of = lambda w: w * bpp
 
     def to_samples(rows: np.ndarray, h: int, w: int) -> np.ndarray:
-        if sb == 2:  # big-endian 16-bit → high byte (spec-approved downscale)
+        if depth == 16:  # big-endian 16-bit → high byte (spec downscale)
             return rows.reshape(h, w * nch, 2)[:, :, 0].reshape(h, w, nch)
+        if depth < 8:  # unpack MSB-first bit groups into one sample/px
+            bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+            vals = bits.dot(1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            if color == 0:  # gray: scale to full 8-bit range
+                vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+            return vals.reshape(h, w, 1)
         return rows.reshape(h, w, nch)
 
     if interlace == 0:
-        rows, _ = _png_unfilter(raw, 0, height, width, bpp)
+        rows, _ = _png_unfilter(raw, 0, height, stride_of(width), bpp)
         pixels = to_samples(rows, height, width)
     elif interlace == 1:  # Adam7: 7 independently-filtered sub-images
         pixels = np.zeros((height, width, nch), dtype=np.uint8)
@@ -238,7 +251,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (height - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            rows, off = _png_unfilter(raw, off, ph, pw, bpp)
+            rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
             pixels[y0::dy, x0::dx] = to_samples(rows, ph, pw)
     else:
         raise NotImplementedError(f"PNG interlace={interlace} unsupported")

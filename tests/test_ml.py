@@ -967,3 +967,50 @@ def test_curate_gopher_and_lm_gates(spark):
     assert all(hasattr(r, "lm_score") for r in rows.values())
     # the rare-word doc scores strictly worse than the stopword-rich one
     assert rows[2].lm_score > rows[0].lm_score
+
+
+def test_png_subbyte_depths():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_png
+
+    def enc(idx, depth, color, palette=None, interlace=0):
+        h, w = idx.shape
+        rows_b = []
+        for y in range(h):
+            bits = np.zeros(w * depth, dtype=np.uint8)
+            for x in range(w):
+                v = int(idx[y, x])
+                for k in range(depth):
+                    bits[x * depth + k] = (v >> (depth - 1 - k)) & 1
+            rows_b.append(b"\x00" + np.packbits(bits).tobytes())
+        raw = b"".join(rows_b)
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 1-bit gray: 0 -> 0, 1 -> 255
+    bw = np.array([[0, 1, 1, 0, 1, 0, 1, 1, 1], [1, 0, 0, 1, 0, 1, 0, 0, 0]], dtype=np.uint8)
+    got = decode_png(enc(bw, 1, 0))
+    assert np.array_equal(got[:, :, 0], bw * 255)
+
+    # 2-bit gray scales by 85
+    g2 = np.array([[0, 1, 2, 3, 1]], dtype=np.uint8)
+    got = decode_png(enc(g2, 2, 0))
+    assert np.array_equal(got[:, :, 0], g2 * 85)
+
+    # 4-bit palette
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    p4 = np.array([[0, 15, 7], [3, 3, 12]], dtype=np.uint8)
+    got = decode_png(enc(p4, 4, 3, palette=pal))
+    assert np.array_equal(got, pal[p4])
