@@ -343,17 +343,35 @@ def encode_mvt(features: list[tuple[int, list, str]], layer_name: str = "feature
     return _field(3, 2, layer)
 
 
-def encode_tiles(assigned: DataFrame) -> DataFrame:
+def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) -> DataFrame:
     """(z, x, y) → MVT bytes: ONE applyInPandas over the tile groups —
     each tile encodes independently, so this scales with tile count.
     Accepts the point schema (fx, fy, props) or the geometry schema
-    (gtype, geom, props) from assign_tiles_geojson."""
+    (gtype, geom, props) from assign_tiles_geojson.
+
+    ``max_features_per_tile`` is tippecanoe's drop-densest heuristic in
+    its simplest honest form: keep the first N features in the tile's
+    deterministic sort order and LOG the drop (no silent caps) — low
+    zooms of a dense corpus otherwise produce multi-MB tiles no client
+    renders."""
+    import logging
+
     import pandas as pd
 
     geom_mode = "geom" in assigned.columns
+    logger = logging.getLogger(__name__)
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        if max_features_per_tile is not None and len(pdf) > max_features_per_tile:
+            logger.warning(
+                "tile z=%d x=%d y=%d: dropping %d of %d features "
+                "(max_features_per_tile=%d — coverage cap)",
+                z, x, y, len(pdf) - max_features_per_tile, len(pdf),
+                max_features_per_tile,
+            )
+            sort_cols = ["gtype", "geom", "props"] if geom_mode else ["fy", "fx", "props"]
+            pdf = pdf.sort_values(sort_cols, kind="mergesort").head(max_features_per_tile)
         if geom_mode:
             pdf = pdf.sort_values(["gtype", "geom", "props"], kind="mergesort")
             feats = [
@@ -419,7 +437,8 @@ def _encode_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
 
 
 def export_pmtiles(
-    df: DataFrame, geo: dict, path: str, max_zoom: int | None = None, min_zoom: int = 0
+    df: DataFrame, geo: dict, path: str, max_zoom: int | None = None, min_zoom: int = 0,
+    max_features_per_tile: int | None = None,
 ) -> dict:
     """GeoJSON-style Point frame → PMTiles v3 archive. Tiling and MVT
     encoding are distributed; the pack is a driver-side sequential
@@ -433,7 +452,7 @@ def export_pmtiles(
         assigned = assign_tiles_geojson(df, geo["col"], zooms)
     else:
         assigned = assign_tiles(df, geo, zooms)
-    tiles = encode_tiles(assigned)
+    tiles = encode_tiles(assigned, max_features_per_tile=max_features_per_tile)
 
     entries = []
     data = bytearray()

@@ -256,3 +256,19 @@ def test_pmtiles_geojson_archive_e2e(spark, tmp_path):
         for f in decode_mvt_features(tile):
             types.add(f["gtype"])
     assert types == {1, 2, 3}
+
+
+def test_encode_tiles_feature_cap_logged(spark, caplog):
+    import logging
+
+    from pyspark.sql import Row
+
+    from hydra_spark.exports.pmtiles import decode_mvt_features, encode_tiles
+
+    rows = [Row(z=0, x=0, y=0, fx=i, fy=i, props='{"i": %d}' % i) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    [t] = encode_tiles(df, max_features_per_tile=4).collect()
+    feats = decode_mvt_features(bytes(t.tile))
+    assert len(feats) == 4
+    [t2] = encode_tiles(df).collect()
+    assert len(decode_mvt_features(bytes(t2.tile))) == 10
