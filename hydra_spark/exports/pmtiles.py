@@ -13,9 +13,10 @@ sequential write over the tiny per-tile blobs, streamed in Hilbert
 order). Scope: Point/LineString/Polygon (+Multi*) geometries with
 per-tile clipping, per-zoom simplification and spec ring orientation;
 `-zg`-style max-zoom guess; gzip tiles; single root directory (no leaf
-dirs — fine for the per-resource tile counts hydra produces). NOT
-attempted from tippecanoe: feature dropping/coalescing heuristics and
-exact topology for holes crossing tile edges.
+dirs — fine for the per-resource tile counts hydra produces). Feature dropping exists as a
+logged per-tile cap (encode_tiles max_features_per_tile); NOT attempted
+from tippecanoe: coalescing heuristics and exact topology for holes
+crossing tile edges.
 
 Format references (public specs):
 - PMTiles v3 header/directory layout: github.com/protomaps/PMTiles
