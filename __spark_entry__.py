@@ -502,7 +502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one round covering the whole (eligible) frontier: the checked
         # set and every check column below are then pure functions of the
         # synthetic URL grammar, replayable in DuckDB (sha1/checksum has
-        # no DuckDB builtin — excluded)
+        # no DuckDB builtin — excluded). The per-domain in-round claim
+        # cap is lifted for the replay (like bench.py's protocol) — at
+        # sf>=0.1 a host exceeds backoff_nb_req and one round could no
+        # longer cover the frontier; politeness itself is verified by
+        # tier_selection/backoff_rate_window and the claim-cap tests.
         from hydra_spark.config import DEFAULT
         from hydra_spark.crawl.loop import init_state, run_crawl
         from hydra_spark.datagen import generate_frontier
@@ -512,7 +516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frontier = generate_frontier(spark, pages)
         store = StateStore(tempfile.mkdtemp(prefix="hydra_q_"))
         init_state(store, frontier)
-        run_crawl(spark, store, pages, DEFAULT.with_(batch_size=100_000), rounds=1)
+        run_crawl(
+            spark, store, pages,
+            DEFAULT.with_(batch_size=100_000, backoff_nb_req=10**9),
+            rounds=1,
+        )
         return store.checks.read(spark).select(
             "resource_id", "url", "domain", "status", "filesize", "mime_type"
         )

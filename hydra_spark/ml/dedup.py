@@ -100,25 +100,31 @@ def minhash_signature(
     an md5 builtin, which is what the cross-engine oracle check needs."""
     # let-bound: the k per-seed passes all reference the shingle array;
     # inlined it would be re-evaluated k times (lambda-bearing exprs are
-    # excluded from Catalyst CSE — see text.let_bound)
+    # excluded from Catalyst CSE — see text.let_bound).
+    #
+    # The per-seed lambdas come from FACTORY functions, never
+    # `lambda s, i=i:` — pyspark counts defaulted params in the lambda's
+    # arity, so a defaulted closure becomes a TWO-arg (element, index)
+    # lambda and the "captured" python value is silently replaced by the
+    # array-index Column (f"{i}|" stringifies to "Column<'y_N'>|").
+    def _md5_pass(i: int):
+        return lambda s: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "UTF-8"))
+
+    def _xx_pass(i: int):
+        return lambda h: F.xxhash64(h, F.lit(seed + i))
+
     if portable_md5:
         return let_bound(
             shingles(text, ngram),
-            lambda sh: F.array(*[
-                F.array_min(
-                    F.transform(
-                        sh, lambda s, i=i: F.md5(F.encode(F.concat(F.lit(f"{i}|"), s), "UTF-8"))
-                    )
-                )
-                for i in range(k)
-            ]),
+            lambda sh: F.array(
+                *[F.array_min(F.transform(sh, _md5_pass(i))) for i in range(k)]
+            ),
         )
     return let_bound(
         shingle_hashes(text, ngram),
-        lambda sh: F.array(*[
-            F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(seed + i))))
-            for i in range(k)
-        ]),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, _xx_pass(i))) for i in range(k)]
+        ),
     )
 
 
