@@ -402,22 +402,36 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed BI_RGB 24/32-bit BMP → (H, W, C) uint8 in RGB(A)
-    order, honoring bottom-up vs top-down row order and 4-byte row
-    padding."""
+    """Uncompressed BI_RGB BMP → (H, W, C) uint8 in RGB(A) order:
+    24/32-bit truecolor plus 8-bit palette, honoring bottom-up vs
+    top-down row order and 4-byte row padding."""
     import struct
 
     b = bytes(payload)
     if b[:2] != b"BM":
         raise ValueError("not a BMP")
     px_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]
-    if comp != 0 or bpp not in (24, 32):
+    if comp != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
     if abs(w) * abs(h) > MAX_DECODE_PIXELS:
         raise ValueError(f"BMP {w}x{h} exceeds the decode-bomb guard")
+    if bpp == 8:
+        # BGRA palette follows the info header (clr_used or 256 entries)
+        clr_used = struct.unpack_from("<I", b, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, dtype=np.uint8, count=4 * clr_used, offset=pal_off)
+        pal = pal.reshape(clr_used, 4)[:, [2, 1, 0]]  # BGRx → RGB
+        stride = (w + 3) & ~3
+        rows = [
+            np.frombuffer(b, dtype=np.uint8, count=w, offset=px_off + y * stride)
+            for y in range(abs(h))
+        ]
+        img = pal[np.stack(rows)]
+        return img[::-1] if h > 0 else img
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     rows = []

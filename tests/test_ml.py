@@ -1014,3 +1014,25 @@ def test_png_subbyte_depths():
     p4 = np.array([[0, 15, 7], [3, 3, 12]], dtype=np.uint8)
     got = decode_png(enc(p4, 4, 3, palette=pal))
     assert np.array_equal(got, pal[p4])
+
+
+def test_bmp_8bit_palette_decode():
+    import struct
+
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_bmp
+
+    w, h = 5, 3
+    pal = (np.arange(1024) % 256).astype(np.uint8).reshape(256, 4)  # BGRx entries
+    idx = np.array([[0, 1, 2, 3, 4], [10, 11, 12, 13, 14], [250, 251, 252, 253, 254]],
+                   dtype=np.uint8)
+    stride = (w + 3) & ~3
+    px_off = 14 + 40 + 1024
+    body = b"".join(idx[y].tobytes() + b"\x00" * (stride - w) for y in range(h - 1, -1, -1))
+    bmp = (b"BM" + struct.pack("<IHHI", px_off + len(body), 0, 0, px_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 256, 0)
+           + pal.tobytes() + body)
+    got = decode_bmp(bmp)
+    want = pal[:, [2, 1, 0]][idx]
+    assert np.array_equal(got, want)
