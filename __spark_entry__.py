@@ -893,6 +893,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.pack_sequences(_t(spark, sf, "documents"), window=64)
 
+    def q_claim_cap(spark, sf):  # §2.4: per-domain in-round politeness cap
+        # the claimed SET under the cap depends on the xxhash64 seeded
+        # order (not md5-replayable), but the per-domain claim COUNT is
+        # exactly least(eligible, backoff_nb_req) on the reference-exact
+        # claim path — which is what politeness promises
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.select_batch import select_batch
+        from hydra_spark.datagen import generate_frontier
+
+        frontier = generate_frontier(spark, _docs_pages(spark, sf))
+        batch = select_batch(
+            frontier, None, DEFAULT.with_(batch_size=10_000), 1, NOW
+        )
+        return batch.groupBy("domain").agg(F.count("*").alias("n_claimed"))
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
         "pack_sequences": q_pack_sequences,
+        "claim_cap": q_claim_cap,
     }
 
 
@@ -1598,5 +1614,17 @@ def oracle_sql() -> dict[str, str]:
                    (cum - nt) // 64 AS seq_id,
                    (cum - nt + greatest(nt, 1) - 1) // 64 - (cum - nt) // 64 + 1 AS seq_count
             FROM c
+        """,
+        # per-domain claim count = least(eligible, backoff_nb_req=180);
+        # eligibility = not deleted (idx % 499 == 0 is the deleted flag,
+        # same replay as crawl_round)
+        "claim_cap": f"""
+            WITH flagged AS (
+              SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS domain,
+                     {md5_idx} AS idx
+              FROM ({crawl_urls})
+            )
+            SELECT domain, CAST(least(count(*), 180) AS BIGINT) AS n_claimed
+            FROM flagged WHERE idx % 499 <> 0 GROUP BY 1
         """,
     }
