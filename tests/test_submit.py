@@ -72,3 +72,53 @@ def test_spark_submit_py_files_crawl(tmp_path):
     assert s["n_checked_total"] == 400  # 2 rounds x batch_size
     assert s["checks_rows"] == 400
     assert s["last_round"] == 2
+
+
+def _submit(tmp_path, zip_path, script, extra_args):
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    res = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path), str(ROOT / "jobs" / script), *extra_args],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    return [json.loads(l) for l in res.stdout.splitlines() if l.startswith("{")]
+
+
+def test_spark_submit_load_catalog_and_analyse(tmp_path):
+    zip_path = tmp_path / "hydra_spark.zip"
+    subprocess.run([sys.executable, str(ROOT / "scripts" / "package.py"), str(zip_path)],
+                   check=True, capture_output=True)
+    catalog = tmp_path / "catalog.csv"
+    catalog.write_text(
+        "dataset.id;id;url;type;format;harvest.modified_at;title;dataset.archived\n"
+        "d1;r1;http://a.example.com/1.csv;main;csv;;one;False\n"
+        "d1;r2;http://a.example.com/2.csv;main;csv;;two;False\n"
+    )
+    store = tmp_path / "store"
+    out = _submit(tmp_path, zip_path, "load_catalog.py",
+                  ["--catalog", str(catalog), "--store", str(store)])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["frontier_rows"] == 2 and s["deleted_rows"] == 0
+
+    # second export drops r2 -> soft delete via the MERGE path
+    catalog.write_text(
+        "dataset.id;id;url;type;format;harvest.modified_at;title;dataset.archived\n"
+        "d1;r1;http://a.example.com/1.csv;main;csv;;one-renamed;False\n"
+    )
+    out = _submit(tmp_path, zip_path, "load_catalog.py",
+                  ["--catalog", str(catalog), "--store", str(store)])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["frontier_rows"] == 2 and s["deleted_rows"] == 1
+
+    csvf = tmp_path / "data.csv"
+    csvf.write_text("code,count,label\n01,2,a\n02,3,b\n")
+    out = _submit(tmp_path, zip_path, "analyse_csv.py",
+                  ["--input", str(csvf), "--store", str(store)])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["rows_parsed"] == 2 and s["parsing_error"] is None
+    assert s["inspection"]["separator"] == ","
