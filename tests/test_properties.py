@@ -273,3 +273,49 @@ def test_extract_features_real_path_poison_to_null(spark):
     ])
     rows = {r.asset_id: r for r in extract_features(assets, fake=False).collect()}
     assert all(rows[i].features is None for i in range(3))
+
+
+# ---- geometry kernels (pmtiles clipping) -----------------------------------
+
+pts2d = st.lists(
+    st.tuples(st.floats(-50, 50, allow_nan=False), st.floats(-50, 50, allow_nan=False)),
+    min_size=3, max_size=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(pts2d)
+def test_clip_ring_stays_inside_property(ring):
+    from hydra_spark.exports.geomclip import clip_ring
+
+    out = clip_ring(ring, 0.0, 10.0)
+    eps = 1e-9
+    for x, y in out:
+        assert -eps <= x <= 10 + eps and -eps <= y <= 10 + eps
+    # a ring fully inside the box is untouched
+    inside = [(x % 9 + 0.5, y % 9 + 0.5) for x, y in ring]
+    assert clip_ring(inside, 0.0, 10.0) == inside
+
+
+@settings(max_examples=120, deadline=None)
+@given(pts2d)
+def test_clip_line_parts_inside_and_ordered_property(line):
+    from hydra_spark.exports.geomclip import clip_line
+
+    eps = 1e-9
+    for part in clip_line(line, 0.0, 10.0):
+        assert len(part) >= 2
+        for x, y in part:
+            assert -eps <= x <= 10 + eps and -eps <= y <= 10 + eps
+
+
+@settings(max_examples=120, deadline=None)
+@given(pts2d, st.floats(0.01, 5.0))
+def test_simplify_endpoints_and_shrinks_property(pts, tol):
+    from hydra_spark.exports.geomclip import simplify
+
+    out = simplify(pts, tol)
+    assert out[0] == pts[0] and out[-1] == pts[-1]
+    assert 2 <= len(out) <= len(pts)
+    # simplify is idempotent at the same tolerance
+    assert simplify(out, tol) == out
