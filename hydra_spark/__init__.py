@@ -19,8 +19,14 @@ batch-iterative Spark DataFrame rounds over snapshot-versioned tables:
 - ``hydra_spark.stats``     — the API-route aggregates
   (reference: udata_hydra/routes/*).
 - ``hydra_spark.ml``        — large-scale training-data ops: dedup
-  (exact / minhash-LSH / simhash / jaccard / embedding), similarity
-  search, text analysis, multimodal plumbing.
+  (exact / minhash-LSH / simhash / jaccard / embedding), ANN similarity
+  search (brute-force / LSH / IVF), text analysis, webtext curation
+  (Gopher repetition stats, corpus line dedup, decontamination,
+  unigram-LM scoring, PII redaction, stratified sampling, token
+  accounting, sequence packing), multimodal decode (stdlib
+  PNG/GIF-anim/BMP/JPEG-incl-progressive/WAV) + features/resize/frames.
+- ``jobs/``                 — spark-submit entry points (crawl,
+  load-catalog, analyse-csv) shipped via ``scripts/package.py`` zips.
 
 Everything is DataFrame-first: no per-row Python in hot paths; pandas
 /Arrow UDFs only where built-in functions cannot express the semantics.

@@ -1,5 +1,7 @@
-"""Webtext corpus-curation operators — repetition stats, corpus-level
-line dedup, benchmark decontamination.
+"""Webtext corpus-curation operators: Gopher repetition stats,
+corpus-level line dedup, benchmark decontamination, unigram-LM quality
+scoring, deterministic stratified sampling, PII redaction, per-source
+token accounting, and GPT-style sequence-packing placement.
 
 The reference (datagouv/hydra) stops at per-resource analysis; these are
 the standard curation passes a Common-Crawl-scale training-data pipeline
