@@ -140,3 +140,26 @@ def test_unigram_lm_corpus_side_never_shuffles(spark):
     # (map-side combined, so only (word, count) rows move) — the raw
     # exploded corpus itself never hash-partitions by word
     assert plan.count("Exchange hashpartitioning(word") == 1, plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing is one cumulative-sum window per shard: exactly ONE
+    exchange, keyed on the shard column."""
+    from hydra_spark.ml.webtext import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_sequences(docs, window=64))
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(source" in plan
+
+
+def test_chunk_dedup_no_cartesian_and_bounded_exchanges(spark):
+    """Corpus line dedup: frequency-table shuffle + co-keyed join +
+    per-doc re-agg — a handful of hash exchanges, never a cartesian."""
+    from hydra_spark.ml.webtext import chunk_dedup_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_dedup_corpus(docs, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
