@@ -120,15 +120,15 @@ def main() -> None:
         import shutil as _sh
         import tempfile as _tf
 
-        # index build is one-time prep (amortizes over every query
-        # against it) — build outside the timed lambda, time the query
+        # index build + handle open are one-time prep (amortize over
+        # every query against the index) — the timed lambda is the
+        # steady-state search: query collect + partition-pruned scan
         ivf_dir = _tf.mkdtemp(prefix="hydra_bench_ivf_")
         similarity.ivf_build_index(emb, f"{ivf_dir}/idx", n_clusters=16)
+        ivf_handle = similarity.open_ivf_index(spark, f"{ivf_dir}/idx")
 
         def _ivf_indexed():
-            return similarity.ivf_topk_indexed(
-                spark, f"{ivf_dir}/idx", emb_q, k=5, n_probe=4
-            )
+            return ivf_handle.topk(emb_q, k=5, n_probe=4)
 
         # candidate pairs are the output of the minhash_pairs stage
         # (timed below); verify/CC consume them — materialize ONCE
@@ -149,6 +149,9 @@ def main() -> None:
             "repetition_stats": lambda: webtext.repetition_features(docs, k=2),
             "line_dedup": lambda: webtext.chunk_dedup_corpus(docs, k=4),
             "decontaminate": lambda: webtext.decontaminate(
+                docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
+            ),
+            "decontaminate_spans": lambda: webtext.decontaminate_spans(
                 docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
             ),
             "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),

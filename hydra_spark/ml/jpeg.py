@@ -281,12 +281,18 @@ def _decode_scan(data, start, frame, state, scan_comps, ss, se, ah, al,
     # group blocks by scan unit (MCU or single block) for restart handling
     blocks_per_unit = len(units) if len(scan_comps) > 1 else 1
     pending = []
+    restart_consumed = False  # a RSTn eaten mid-unit already serves the next boundary
     while not done:
         if restart_interval and unit_idx and unit_idx % restart_interval == 0:
-            try:
-                reader.sync_restart()
-            except IndexError:
-                break
+            if restart_consumed:
+                # the retry path consumed this boundary's marker already;
+                # scanning forward would silently drop one whole interval
+                restart_consumed = False
+            else:
+                try:
+                    reader.sync_restart()
+                except IndexError:
+                    break
             pred = [0] * len(comps)
             eobrun[0] = 0
         for _attempt in (0, 1):
@@ -313,6 +319,7 @@ def _decode_scan(data, start, frame, state, scan_comps, ss, se, ah, al,
                 eobrun[0] = 0
                 reader.reset()
                 it = _chain(taken, it)
+                restart_consumed = True
                 continue
             except (EOFError, IndexError):
                 done = True

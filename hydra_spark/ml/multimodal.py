@@ -372,13 +372,19 @@ def gif_frames(payload: bytes):
                 idx = de
             disposal, delay_ms, tidx = gce if gce else (0, 0, None)
             saved = canvas.copy() if disposal == 3 else None
-            region = canvas[y0 : y0 + h, x0 : x0 + w]
-            rgb = table[idx]
-            if tidx is not None:
-                mask = idx != tidx
-                region[mask] = rgb[mask]
-            else:
-                region[:] = rgb
+            # untrusted bytes: a frame rect may overflow the logical
+            # screen (x0+w>sw / y0+h>sh); numpy would clip the canvas
+            # slice but not idx/rgb, so clamp both to stay congruent
+            ch, cw = min(h, sh - y0), min(w, sw - x0)
+            if ch > 0 and cw > 0:
+                region = canvas[y0 : y0 + ch, x0 : x0 + cw]
+                idx_c = idx[:ch, :cw]
+                rgb = table[idx_c]
+                if tidx is not None:
+                    mask = idx_c != tidx
+                    region[mask] = rgb[mask]
+                else:
+                    region[:] = rgb
             yielded = True
             yield delay_ms, canvas.copy()
             if disposal == 2:  # restore background in the frame rect

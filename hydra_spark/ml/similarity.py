@@ -208,7 +208,117 @@ def ivf_build_index(
         .write.mode("overwrite")
         .parquet(f"{path}/_centroids")
     )
+    # a rebuild at the same path invalidates any opened handle
+    _INDEX_CACHE.pop((id(spark.sparkContext), path), None)
     return cents
+
+
+class IvfIndex:
+    """Opened handle over an ``ivf_build_index`` table.
+
+    The fixed per-search costs — reading the centroid sidecar (a Spark
+    job) and the base scan relation — are paid ONCE at open; a search
+    then only collects its (small-by-contract) query set and launches
+    the pruned scan. Amortizing this matters: centroid re-reads were
+    ~4 s of a 5 s sf0.1 search (BENCH_r03) for work that never changes
+    between calls on the same index.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
+        self.cents = np.array(
+            [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cluster"])],
+            dtype=np.float64,
+        )
+        self.cn = self.cents / np.linalg.norm(self.cents, axis=1, keepdims=True)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        query_id_col: str = "query_id",
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """ANN over the opened index. The probed cluster ids are
+        computed from the query set on the driver — one numpy matmul —
+        so the corpus scan carries a LITERAL cluster IN (...) predicate
+        that prunes partitions at plan time. Per-query routing then
+        joins on `cluster` as in ivf_topk."""
+        spark = self.spark
+        q_rows = queries.select(query_id_col, vec_col).collect()  # small by contract
+        if not q_rows:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("query_id", queries.schema[query_id_col].dataType),
+                        T.StructField("neighbor_id", queries.schema[query_id_col].dataType),
+                        T.StructField("cosine", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(qm @ self.cn.T), axis=1)[:, :n_probe]
+        probe_pairs = [
+            (r[0], int(c)) for r, clusters in zip(q_rows, order) for c in clusters
+        ]
+        probed_clusters = sorted({c for _, c in probe_pairs})
+        logger.info(
+            "ivf_topk_indexed: scanning %d/%d inverted lists (partition-pruned)",
+            len(probed_clusters), len(self.cents),
+        )
+        c = (
+            spark.read.parquet(self.path)
+            .where(F.col("cluster").isin(probed_clusters))  # partition pruning
+            .select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).cast("array<double>").alias("_cv"), "cluster")
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        probes_df = spark.createDataFrame(
+            probe_pairs,
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[query_id_col].dataType),
+                    T.StructField("cluster", T.IntegerType()),
+                ]
+            ),
+        )
+        qx = q.join(F.broadcast(probes_df), "query_id")
+        scored = (
+            qx.join(c, "cluster")
+            .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
+            .select("query_id", "neighbor_id", "cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        )
+
+
+# opened handles keyed by (JVM session id, path): repeated searches on
+# the same index must not re-pay the centroid read. Bounded: an entry is
+# a path string + an (n_clusters × d) numpy array.
+_INDEX_CACHE: dict[tuple[int, str], IvfIndex] = {}
+
+
+def open_ivf_index(spark, path: str, refresh: bool = False) -> IvfIndex:
+    """Open (or fetch the cached handle for) an ivf_build_index table.
+    Pass ``refresh=True`` after rebuilding the index at the same path."""
+    key = (id(spark.sparkContext), path)
+    if refresh or key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = IvfIndex(spark, path)
+    return _INDEX_CACHE[key]
 
 
 def ivf_topk_indexed(
@@ -221,71 +331,11 @@ def ivf_topk_indexed(
     query_id_col: str = "query_id",
     n_probe: int = 4,
 ) -> DataFrame:
-    """ANN over an ivf_build_index table. The probed cluster ids are
-    computed from the (small, broadcastable) query set on the driver —
-    one numpy matmul — so the corpus scan carries a LITERAL cluster IN
-    (...) predicate that prunes partitions at plan time. Per-query
-    routing then joins on `cluster` as in ivf_topk."""
-    cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
-    cents = np.array(
-        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cluster"])],
-        dtype=np.float64,
-    )
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    q_rows = queries.select(query_id_col, vec_col).collect()  # query set: small by contract
-    if not q_rows:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("query_id", queries.schema[query_id_col].dataType),
-                    T.StructField("neighbor_id", queries.schema[query_id_col].dataType),
-                    T.StructField("cosine", T.DoubleType()),
-                    T.StructField("rank", T.IntegerType()),
-                ]
-            ),
-        )
-    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(qm @ cn.T), axis=1)[:, :n_probe]
-    probe_pairs = [
-        (r[0], int(c)) for r, clusters in zip(q_rows, order) for c in clusters
-    ]
-    probed_clusters = sorted({c for _, c in probe_pairs})
-    logger.info(
-        "ivf_topk_indexed: scanning %d/%d inverted lists (partition-pruned)",
-        len(probed_clusters), len(cents),
-    )
-    c = (
-        spark.read.parquet(path)
-        .where(F.col("cluster").isin(probed_clusters))  # partition pruning
-        .select(F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).cast("array<double>").alias("_cv"), "cluster")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    probes_df = spark.createDataFrame(
-        probe_pairs,
-        T.StructType(
-            [
-                T.StructField("query_id", queries.schema[query_id_col].dataType),
-                T.StructField("cluster", T.IntegerType()),
-            ]
-        ),
-    )
-    qx = q.join(F.broadcast(probes_df), "query_id")
-    scored = (
-        qx.join(c, "cluster")
-        .withColumn("cosine", cosine(F.col("_cv"), F.col("_qv")))
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    """ANN over an ivf_build_index table — convenience wrapper that
+    opens (and caches) the index handle; see IvfIndex.topk."""
+    return open_ivf_index(spark, path).topk(
+        queries, k=k, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, n_probe=n_probe,
     )
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "repetition_features",
     "chunk_dedup_corpus",
     "decontaminate",
+    "decontaminate_spans",
     "unigram_lm_score",
     "uniform_hash",
     "stratified_sample",
@@ -173,18 +174,25 @@ def chunk_dedup_corpus(
     every occurrence — except, with ``keep_first``, the single earliest
     one (min (doc_id, pos)), which is C4's keep-one-copy policy.
 
-    Plan: posexplode → ONE shuffle on the chunk text for the exact
-    distinct-doc frequency table (two-phase partial agg) + the earliest
-    occurrence (min struct — same agg, no extra pass) → co-keyed join
-    back → re-assemble per doc (array_sort over collected (pos, chunk)
-    structs restores original order without a sort exchange). Returns
-    one row per input doc: (doc_id, text_deduped, n_chunks, n_removed).
+    Plan: posexplode → ONE shuffle keyed on ``xxhash64(chunk)`` (8 B vs
+    a ~25 B+ chunk string on real webtext — ~3-10× fewer shuffle bytes
+    on the frequency exchange) for the exact distinct-doc frequency
+    table (two-phase partial agg) + the earliest occurrence (min struct
+    — same agg, no extra pass) → co-keyed join back on the hash →
+    re-assemble per doc (array_sort over collected (pos, chunk) structs
+    restores original order without a sort exchange). A 64-bit hash
+    collision between distinct chunks would merge their frequencies —
+    P ≈ n²/2⁶⁵, negligible below ~10¹² distinct chunks (and biased
+    toward over-removal of boilerplate, never corruption). Returns one
+    row per input doc: (doc_id, text_deduped, n_chunks, n_removed).
     Docs reduced to nothing keep an empty string, so kept+dropped
     accounting stays exact.
     """
     base = df.select("doc_id", chunk_segments(text_col, k).alias("chunks"))
-    ex = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk"))
-    freq = ex.groupBy("chunk").agg(
+    ex = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk")).withColumn(
+        "chunk_h", F.xxhash64("chunk")
+    )
+    freq = ex.groupBy("chunk_h").agg(
         F.countDistinct("doc_id").alias("df_count"),
         F.min(F.struct("doc_id", "pos")).alias("first_occ"),
     )
@@ -193,7 +201,7 @@ def chunk_dedup_corpus(
         keep_cond = keep_cond | (
             (F.col("doc_id") == F.col("first_occ.doc_id")) & (F.col("pos") == F.col("first_occ.pos"))
         )
-    kept = ex.join(freq, "chunk").where(keep_cond)
+    kept = ex.join(freq, "chunk_h").where(keep_cond)
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -295,7 +303,7 @@ PII_PHONE = r"\+?\d[\d .-]{7,}\d"
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """PII scrubbing, the standard pre-release anonymization pass
+    r"""PII scrubbing, the standard pre-release anonymization pass
     (FineWeb/BigScience-ROOTS redact emails, IPs, phone-ish digit runs):
     replaces matches with <EMAIL>/<IP>/<PHONE> placeholders and counts
     them per document. Pure regexp column expressions — RE2/Java-regex
@@ -416,4 +424,48 @@ def decontaminate(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
         )
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """GPT-3 appendix C removes contaminated *spans*, not whole
+    documents (Brown et al. 2020: excise a window around each 13-gram
+    collision and keep the clean remainder). This returns the token
+    offsets a pipeline needs to excise: each benchmark-colliding
+    ``n``-gram starting at word position ``p`` contaminates tokens
+    ``[p, p+n-1]``; overlapping or adjacent windows merge into maximal
+    spans (classic gaps-and-islands over a running max of span ends).
+
+    Plan: the benchmark gram set is broadcast exactly as in
+    ``decontaminate`` — the corpus side never shuffles to find hits.
+    The interval merge windows ONLY the hit rows (collisions are rare
+    by construction — that is the point of decontamination), so the
+    per-doc sort touches a corpus fraction ≈ contamination rate.
+
+    Returns one row per maximal span: (doc_id, span_id — 1-based within
+    the doc —, start_token, end_token — inclusive 0-based word offsets
+    —, n_grams — colliding grams merged into the span).
+    """
+    grams = shingles(text_col, n)
+    bench = benchmark.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
+    pos_grams = corpus.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    hits = pos_grams.join(F.broadcast(bench), "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    islands = marked.withColumn("span_id", F.sum("_new").over(w))
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("start_token"),
+        (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_token"),
+        F.count("*").alias("n_grams"),
     )

@@ -41,7 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     from hydra_spark.storage import StateStore
 
     data = open(args.input, "rb").read()
-    rid = args.resource_id or f"cli-{abs(hash(args.input)) % 10**8}"
+    # stable across processes (hash() is PYTHONHASHSEED-salted): reruns
+    # on the same file must append under the same resource_id
+    import hashlib
+
+    rid = args.resource_id or f"cli-{hashlib.md5(args.input.encode()).hexdigest()[:8]}"
     url = f"file://{args.input}"
     df = spark.createDataFrame(
         [Row(url=url, resource_id=rid, dataset_id="cli", html=bytearray(data))]

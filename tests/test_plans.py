@@ -163,3 +163,8 @@ def test_chunk_dedup_no_cartesian_and_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+    # the frequency exchange and join key on xxhash64(chunk), not the
+    # raw chunk string (8 B vs ~25 B+ of shuffle bytes per row)
+    assert "Exchange hashpartitioning(chunk_h" in plan, plan
+    assert "Exchange hashpartitioning(chunk," not in plan, plan
+    assert "Exchange hashpartitioning(chunk#" not in plan, plan

@@ -131,6 +131,39 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
 
 
+class TestDecontaminateSpans:
+    def test_disjoint_hits_make_separate_spans(self, spark):
+        bench = _docs(spark, ["a b c"])
+        corpus = _docs(spark, ["a b c x a b c d a b c"])  # hits at pos 0, 4, 8
+        out = sorted(
+            webtext.decontaminate_spans(corpus, bench, n=3).collect(),
+            key=lambda r: r.span_id,
+        )
+        assert [(r.start_token, r.end_token, r.n_grams) for r in out] == [
+            (0, 2, 1), (4, 6, 1), (8, 10, 1),
+        ]
+        assert [r.span_id for r in out] == [1, 2, 3]
+
+    def test_overlapping_and_adjacent_hits_merge(self, spark):
+        # overlapping: hits at 0 and 2 share token 2 -> one span [0,4]
+        bench = _docs(spark, ["a b c", "c d e"])
+        corpus = _docs(spark, ["a b c d e f"])
+        [r] = webtext.decontaminate_spans(corpus, bench, n=3).collect()
+        assert (r.start_token, r.end_token, r.n_grams) == (0, 4, 2)
+        # adjacent: [0,2] then hit at 3 -> contiguous tokens, one span [0,5]
+        bench2 = _docs(spark, ["a b c", "d e f"])
+        [r2] = webtext.decontaminate_spans(corpus, bench2, n=3).collect()
+        assert (r2.start_token, r2.end_token, r2.n_grams) == (0, 5, 2)
+
+    def test_clean_docs_emit_no_rows_and_bench_broadcasts(self, spark):
+        bench = _docs(spark, ["p q r"])
+        corpus = _docs(spark, ["totally clean words here"])
+        df = webtext.decontaminate_spans(corpus, bench, n=3)
+        assert df.count() == 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestRedactPii:
     def test_email_ip_phone(self, spark):
         df = _docs(spark, ["mail bob@corp.example.org ip 192.168.1.10 call +33 1 22 33 44 55 done"])
