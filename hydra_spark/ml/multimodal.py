@@ -22,8 +22,12 @@ Decode status:
   selection + successive approximation) — decodes to real pixels via
   `ml/jpeg.py` (stdlib + numpy Huffman/IDCT; cross-checked against the
   JVM's ImageIO decoder in tests).
-- Compressed audio and video codecs still need external libraries
-  (ffmpeg, absent in this container): those raise
+- MPEG audio (MP3): `parse_mp3_header` probes frame-header metadata
+  (version/layer/bitrate/sample-rate/channels + a CBR duration
+  estimate) with a pure struct walk — ID3v2-aware, false-sync
+  rejected by requiring chained frames. Decode still needs a codec.
+- Compressed audio decode and video codecs still need external
+  libraries (ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
   deterministic byte-histogram "feature" is produced — the Spark-side
   plumbing (schema, partitioning, UDF signatures, batch shapes) is
@@ -601,6 +605,90 @@ def parse_wav_header(payload: bytes) -> dict | None:
         "bit_depth": int(bits),
         "duration_ms": int(frames * 1000 // max(rate, 1)),
     }
+
+
+# MPEG audio frame-header tables (ISO/IEC 11172-3 §2.4.2.3 and
+# 13818-3): bitrate kbps by (version-group, layer, index) and sample
+# rate by (version, index). Index 0 is "free format", 15 is invalid.
+_MP3_BITRATES = {
+    # MPEG1
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    # MPEG2 / MPEG2.5 (lower-sampling extensions share tables)
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000], 25: [11025, 12000, 8000]}
+
+
+def _mp3_frame_at(b: bytes, pos: int) -> dict | None:
+    """Parse one MPEG audio frame header at `pos`; None if invalid."""
+    if pos + 4 > len(b) or b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b[pos + 1] >> 3) & 0x03     # 00=2.5 01=res 10=2 11=1
+    layer_bits = (b[pos + 1] >> 1) & 0x03   # 01=III 10=II 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - layer_bits                   # 1, 2, 3
+    br_idx = (b[pos + 2] >> 4) & 0x0F
+    sr_idx = (b[pos + 2] >> 2) & 0x03
+    if br_idx in (0, 15) or sr_idx == 3:     # free-format/invalid
+        return None
+    padding = (b[pos + 2] >> 1) & 0x01
+    mode = (b[pos + 3] >> 6) & 0x03          # 11 = mono
+    group = 1 if version == 1 else 2
+    bitrate = _MP3_BITRATES[(group, layer)][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or version == 1) else 576
+        frame_len = spf // 8 * bitrate // rate + padding
+    return {
+        "mpeg_version": version, "layer": layer, "bitrate_kbps": bitrate // 1000,
+        "sample_rate": rate, "n_channels": 1 if mode == 3 else 2,
+        "samples_per_frame": spf, "frame_bytes": frame_len,
+    }
+
+
+def parse_mp3_header(payload: bytes, scan_limit: int = 4096) -> dict | None:
+    """MPEG audio (MP3) frame-header probe — metadata without a codec
+    (decode stays gated on external libraries): skips an ID3v2 tag,
+    scans up to `scan_limit` bytes for a sync word, and requires the
+    NEXT frame to sync at the computed frame length (random bytes hit
+    the 11-bit sync pattern constantly; real streams chain). Returns
+    {format, mpeg_version (1|2|25 for 2.5), layer, bitrate_kbps,
+    sample_rate, n_channels, samples_per_frame, duration_ms — a CBR
+    estimate over the post-tag byte length} or None if not MPEG audio.
+    """
+    b = bytes(payload)
+    start = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit tag size (7 bits per byte), then the tag body
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        start = 10 + size
+    for pos in range(start, min(len(b) - 3, start + scan_limit)):
+        f = _mp3_frame_at(b, pos)
+        if f is None or f["frame_bytes"] <= 0:
+            continue
+        nxt = pos + f["frame_bytes"]
+        if nxt + 4 <= len(b):
+            g = _mp3_frame_at(b, nxt)
+            if g is None or g["sample_rate"] != f["sample_rate"] or g["layer"] != f["layer"]:
+                continue  # false sync: real frames chain with stable params
+        elif pos > start:
+            continue  # a lone mid-buffer sync with no second frame is noise
+        stream_bytes = len(b) - pos
+        dur_ms = int(stream_bytes * 8 * 1000 // max(f["bitrate_kbps"] * 1000, 1))
+        out = {k: v for k, v in f.items() if k != "frame_bytes"}
+        out["format"] = "mp3"
+        out["duration_ms"] = dur_ms
+        return out
+    return None
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

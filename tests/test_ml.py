@@ -701,6 +701,50 @@ def test_wav_header_decode_features():
     assert parse_wav_header(b"\x00" * 50) is None
 
 
+def _mp3_frames(header: bytes, frame_len: int, n: int = 3) -> bytes:
+    return (header + b"\x00" * (frame_len - 4)) * n
+
+
+def test_parse_mp3_header_real_frames():
+    from hydra_spark.ml.multimodal import parse_mp3_header
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: FF FB 90 00
+    # frame length = 144 * 128000 / 44100 = 417
+    mp3 = _mp3_frames(b"\xff\xfb\x90\x00", 417)
+    hdr = parse_mp3_header(mp3)
+    assert hdr == {
+        "format": "mp3", "mpeg_version": 1, "layer": 3, "bitrate_kbps": 128,
+        "sample_rate": 44100, "n_channels": 2, "samples_per_frame": 1152,
+        "duration_ms": len(mp3) * 8 * 1000 // 128000,
+    }
+
+    # ID3v2-tagged stream: probe must skip the tag body (syncsafe size)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\xff" * 100
+    hdr2 = parse_mp3_header(tag + mp3)
+    assert hdr2["format"] == "mp3" and hdr2["bitrate_kbps"] == 128
+    assert hdr2["duration_ms"] == hdr["duration_ms"]  # tag bytes excluded
+
+    # MPEG2.5 Layer III, 64 kbps, 11025 Hz, mono: FF E3 80 C0
+    # frame length = 72 * 64000 / 11025 = 417, 576 samples/frame
+    lofi = _mp3_frames(b"\xff\xe3\x80\xc0", 417)
+    hdr3 = parse_mp3_header(lofi)
+    assert (hdr3["mpeg_version"], hdr3["layer"], hdr3["bitrate_kbps"]) == (25, 3, 64)
+    assert hdr3["sample_rate"] == 11025 and hdr3["n_channels"] == 1
+    assert hdr3["samples_per_frame"] == 576
+
+
+def test_parse_mp3_header_rejects_false_sync():
+    from hydra_spark.ml.multimodal import parse_mp3_header
+
+    # 0xFFFF syncs but has bitrate index 15 (invalid)
+    assert parse_mp3_header(b"\xff\xff\xff\xff" * 200) is None
+    # a single valid header mid-buffer with no chained second frame is noise
+    assert parse_mp3_header(b"\x00" * 64 + b"\xff\xfb\x90\x00" + b"\x00" * 500) is None
+    assert parse_mp3_header(b"not audio at all") is None
+    # WAV bytes must not probe as mp3
+    assert parse_mp3_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+
+
 def test_extract_features_real_wav_path(spark):
     import io
     import wave

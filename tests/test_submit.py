@@ -122,3 +122,62 @@ def test_spark_submit_load_catalog_and_analyse(tmp_path):
     s = [l for l in out if l.get("summary")][0]
     assert s["rows_parsed"] == 2 and s["parsing_error"] is None
     assert s["inspection"]["separator"] == ","
+
+
+def test_spark_submit_csv_sample_and_download_resource(tmp_path, spark):
+    """jobs/csv_sample.py (reference cli/db.py:15-101) and
+    jobs/download_resource.py (reference cli/crawl.py:40-74) over a
+    crawled store + its pages corpus parquet."""
+    import csv as csvmod
+
+    from hydra_spark.datagen import generate_pages
+
+    zip_path = tmp_path / "hydra_spark.zip"
+    subprocess.run([sys.executable, str(ROOT / "scripts" / "package.py"), str(zip_path)],
+                   check=True, capture_output=True)
+    pages_pq = tmp_path / "pages.parquet"
+    generate_pages(spark, 600, n_hosts=12).write.parquet(str(pages_pq))
+    store = tmp_path / "store"
+    _submit(tmp_path, zip_path, "crawl_job.py",
+            ["--pages-parquet", str(pages_pq), "--rounds", "2",
+             "--batch-size", "200", "--store", str(store)])
+
+    out_dir = tmp_path / "data"
+    out = _submit(tmp_path, zip_path, "csv_sample.py",
+                  ["--store", str(store), "--size", "10", "--download",
+                   "--pages-parquet", str(pages_pq), "--out-dir", str(out_dir)])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["sampled"] > 0 and s["downloaded"] > 0
+    with open(s["index"]) as f:
+        rows = list(csvmod.DictReader(f))
+    assert len(rows) == s["sampled"]
+    assert {"resource_id", "dataset_id", "url", "content_type",
+            "content_length", "filename", "magic_mime", "real_size"} <= set(rows[0])
+    for r in rows:
+        assert os.path.getsize(r["filename"]) == int(r["real_size"])
+        assert "csv" in r["magic_mime"] or r["magic_mime"] == "application/gzip"
+
+    # download one sampled resource by id
+    rid = rows[0]["resource_id"]
+    dl_dir = tmp_path / "dl"
+    out = _submit(tmp_path, zip_path, "download_resource.py",
+                  ["--resource-id", rid, "--store", str(store),
+                   "--pages-parquet", str(pages_pq), "--output-dir", str(dl_dir)])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["resource_id"] == rid and s["found_body"] and s["n_bytes"] > 0
+    assert os.path.getsize(s["output"]) == s["n_bytes"]
+
+    # unknown resource: error summary + exit code 1 (reference logs error)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    res = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path), str(ROOT / "jobs" / "download_resource.py"),
+         "--resource-id", "nope", "--store", str(store),
+         "--pages-parquet", str(pages_pq)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert res.returncode == 1
+    assert "not found in catalog" in res.stdout
