@@ -103,13 +103,20 @@ def run_round(
 
     # compaction folds COMMITTED state only (start of round, tagged with
     # the last committed round id): a crash later in this round can then
-    # never orphan a base snapshot that already swallowed the delta log
+    # never orphan a base snapshot that already swallowed the delta log.
+    # The latest-check view folds on the same cadence — without it every
+    # round windows over the FULL checks history (O(all past rounds)),
+    # the long-horizon scale-killer the 12-round sf1 bench surfaces.
     if cfg.compact_every_rounds and round_id % cfg.compact_every_rounds == 0:
         store.frontier.compact(spark, round_id=round_id - 1)
+        store.fold_latest_checks(spark, round_id=round_id - 1)
 
     frontier = store.frontier.read(spark)
+    # full history only feeds the TIME-BOUNDED backoff rate window
+    # (created_at pushdown prunes old row groups); the latest-per-key
+    # view comes from the bounded base+delta read
     checks = store.checks.read(spark) if store.checks.exists() else None
-    lc = latest_checks(checks) if checks is not None else None
+    lc = store.latest_checks_view(spark)
 
     frontier = reset_stuck(frontier, cfg, now)
 

@@ -32,6 +32,7 @@ def generate_pages(
     n_hosts: int = 100,
     seed: int = 42,
     csv_rows_per_page: int = 20,
+    hot_host_frac: float | None = None,
 ) -> DataFrame:
     """Common-Crawl-style ``pages`` table (BASELINE.json input_hint):
     (url string, warc_ts timestamp, html binary, text string, lang string).
@@ -39,12 +40,19 @@ def generate_pages(
     ~30% of pages carry a CSV payload (the analysis path); the rest are
     HTML. ``text`` is the reference-extracted text for the byte-identical
     invariant: for CSV pages the raw CSV text, for HTML the body text.
+
+    ``hot_host_frac`` forces that fraction of all pages onto host0 —
+    the skew stress corpus (SURVEY §7 risk register: one domain owning
+    half the frontier must not serialize the claim or the round).
     """
     df = spark.range(n_urls).withColumnRenamed("id", "page_id")
 
     # Zipf-ish host assignment: inverse-CDF of 1/(h+1) mass.
     u = _u01(F.col("page_id"), seed)
     host_id = (F.floor(F.exp(u * F.log(F.lit(float(n_hosts + 1))))) - 1).cast("int")
+    if hot_host_frac is not None:
+        is_hot = _u01(F.col("page_id"), seed + 5) < float(hot_host_frac)
+        host_id = F.when(is_hot, F.lit(0)).otherwise(host_id)
     df = df.withColumn("host_id", F.least(host_id, F.lit(n_hosts - 1)))
     df = df.withColumn(
         "host",

@@ -350,11 +350,18 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
     Accepts the point schema (fx, fy, props) or the geometry schema
     (gtype, geom, props) from assign_tiles_geojson.
 
-    ``max_features_per_tile`` is tippecanoe's drop-densest heuristic in
-    its simplest honest form: keep the first N features in the tile's
-    deterministic sort order and LOG the drop (no silent caps) — low
-    zooms of a dense corpus otherwise produce multi-MB tiles no client
-    renders."""
+    ``max_features_per_tile`` mirrors tippecanoe's documented drop
+    heuristics deterministically, and LOGS the drop (no silent caps) —
+    low zooms of a dense corpus otherwise produce multi-MB tiles no
+    client renders:
+
+    - points: a uniform stride over the tile's Morton (Z-curve) order —
+      every k-th feature of a space-filling traversal, so the kept
+      subset preserves the spatial DISTRIBUTION (tippecanoe's
+      point-drop rate) instead of keeping one corner of the tile;
+    - lines/polygons: drop-smallest-as-needed (tippecanoe
+      ``--drop-smallest-as-needed``): keep the N features with the most
+      vertices, ties broken by the deterministic sort key."""
     import logging
 
     import pandas as pd
@@ -371,8 +378,33 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
                 z, x, y, len(pdf) - max_features_per_tile, len(pdf),
                 max_features_per_tile,
             )
-            sort_cols = ["gtype", "geom", "props"] if geom_mode else ["fy", "fx", "props"]
-            pdf = pdf.sort_values(sort_cols, kind="mergesort").head(max_features_per_tile)
+            if geom_mode:
+                # drop-smallest-as-needed: vertex count from the geometry
+                # JSON, largest kept, deterministic tie-break
+                nv = pdf["geom"].map(lambda g: str(g).count("["))
+                pdf = (
+                    pdf.assign(_nv=nv)
+                    .sort_values(["_nv", "gtype", "geom", "props"],
+                                 ascending=[False, True, True, True],
+                                 kind="mergesort")
+                    .head(max_features_per_tile)
+                    .drop(columns="_nv")
+                )
+            else:
+                # Morton-order uniform stride: interleave the 12-bit tile
+                # coords, sort along the Z-curve, take evenly spaced ranks
+                import numpy as np
+
+                fx = pdf["fx"].to_numpy(dtype=np.int64) & 0xFFF
+                fy = pdf["fy"].to_numpy(dtype=np.int64) & 0xFFF
+                m = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(12):
+                    m |= ((fx >> b) & 1) << (2 * b) | ((fy >> b) & 1) << (2 * b + 1)
+                order = np.lexsort((pdf["props"].to_numpy(), m))
+                keep = order[np.unique(
+                    np.linspace(0, len(pdf) - 1, max_features_per_tile).round().astype(int)
+                )]
+                pdf = pdf.iloc[np.sort(keep)]
         if geom_mode:
             pdf = pdf.sort_values(["gtype", "geom", "props"], kind="mergesort")
             feats = [

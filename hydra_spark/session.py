@@ -17,10 +17,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app: str = "hydra_spark",
     extra: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """`master` overrides the default local[cores] — e.g.
+    `local-cluster[4,8,12288]` runs REAL executor processes (own JVMs,
+    real serde/network boundaries), the closest this sandbox gets to a
+    multi-node cluster; `cores` should then be the TOTAL core count so
+    shuffle partitioning stays consistent."""
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cores) if str(cores).isdigit() else 32
     b = (

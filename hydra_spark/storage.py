@@ -383,6 +383,9 @@ class StateStore:
         self.outbox = AppendLog(self.root, "outbox")
         self.metrics = AppendLog(self.root, "metrics")
         self.seen = SnapshotTable(self.root, "url_seen")
+        # periodically-folded latest-check-per-resource view (see
+        # latest_checks_view): bounds the per-round window input
+        self.checks_latest = SnapshotTable(self.root, "checks_latest")
         self._rounds_path = os.path.join(self.root, "rounds.json")
 
     def last_round(self) -> int:
@@ -400,7 +403,7 @@ class StateStore:
         for log in (self.checks, self.tables_index, self.outputs, self.outbox, self.metrics):
             dropped += log.prune_after_round(last)
         dropped += self.frontier.prune_after_round(last)
-        for snap in (self.domain_state, self.seen):
+        for snap in (self.domain_state, self.seen, self.checks_latest):
             dropped += snap.prune_after_round(last)
         return dropped
 
@@ -412,6 +415,46 @@ class StateStore:
             removed += log.gc(min_age_s)
         removed += self.frontier.gc(min_age_s)
         return removed
+
+    def latest_checks_view(self, spark: SparkSession) -> "DataFrame | None":
+        """Latest check per resource with BOUNDED read cost.
+
+        The naive view windows over the FULL checks history — O(all
+        checks ever written) per round, which is the long-horizon
+        scale-killer at 10^10 checks (every round pays for every past
+        round). Like the frontier's merge-on-read deltas, the view is a
+        periodically folded base snapshot (``fold_latest_checks``, run
+        on the compaction cadence) plus ONLY the checks batches appended
+        since the fold: per-round input is O(one row per resource +
+        compact_every_rounds × batch), flat over the crawl's lifetime.
+
+        Returns None when no checks exist yet.
+        """
+        if not self.checks.exists():
+            return None
+        from hydra_spark.crawl.round import latest_checks
+
+        snap = self.checks_latest.current_snapshot()
+        if snap is None:
+            return latest_checks(self.checks.read(spark))
+        upto = snap["meta"]["upto_batch"]
+        base = self.checks_latest.read(spark)
+        new_paths = [b["path"] for b in self.checks.manifest()["batches"] if b["id"] > upto]
+        if not new_paths:
+            return base
+        return latest_checks(base.unionByName(spark.read.parquet(*new_paths)))
+
+    def fold_latest_checks(self, spark: SparkSession, round_id: int | None = None) -> None:
+        """Fold the latest-check view into a snapshot. Call only on
+        COMMITTED state (start of round, tagged with the last committed
+        round id) — same crash discipline as FrontierTable.compact: an
+        orphaned fold is dropped by prune_uncommitted, and re-folding
+        already-folded batches is idempotent (same per-key winners)."""
+        if not self.checks.exists():
+            return
+        upto = max(b["id"] for b in self.checks.manifest()["batches"])
+        df = self.latest_checks_view(spark)
+        self.checks_latest.commit(df, round_id=round_id, meta={"upto_batch": upto})
 
     def commit_round(self, round_id: int, meta: dict | None = None) -> None:
         m = _read_manifest(self._rounds_path) or {"last_round": 0, "rounds": []}

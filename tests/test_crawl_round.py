@@ -179,3 +179,37 @@ def test_per_domain_claim_cap_scale_path(spark):
     assert 0 < by_dom["hot.example.com"] <= cfg.backoff_nb_req
     # cold domains are untouched by the cap
     assert sum(by_dom.values()) > 10_000
+
+
+def test_half_hot_corpus_claim_spread(spark):
+    """SURVEY §7 risk-register scenario (VERDICT r3 task #6): one domain
+    owns 50% of the frontier. The claimed batch must NOT mirror that
+    skew — at the default politeness budget the hot domain gets at most
+    backoff_nb_req rows; with the budget disabled (throughput mode) the
+    bucket quota still bounds it, so no window group / partition
+    serializes the round."""
+    fr = _skewed_frontier(spark, hot_n=20_000, cold_hosts=200, cold_n_each=100)
+
+    # default budget: hot share <= 180 of a 20k batch (<1%)
+    cfg = DEFAULT.with_(batch_size=20_000)
+    assert cfg.batch_size > cfg.bucket_claim_threshold  # scale path
+    rows = select_batch(fr, None, cfg, 1, "2025-01-15 00:00:00").collect()
+    by_dom = {}
+    for r in rows:
+        by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+    assert 0 < by_dom["hot.example.com"] <= cfg.backoff_nb_req
+    assert by_dom["hot.example.com"] / len(rows) < 0.01
+
+    # throughput mode (politeness budget disabled): the per-bucket quota
+    # caps the hot domain at ceil(batch / frontier_buckets) — the claim
+    # spreads across buckets instead of following the corpus skew
+    cfg2 = cfg.with_(backoff_nb_req=10**9)
+    rows2 = select_batch(fr, None, cfg2, 1, "2025-01-15 00:00:00").collect()
+    quota = -(-cfg2.batch_size // cfg2.frontier_buckets)
+    by_dom2, by_bucket = {}, {}
+    for r in rows2:
+        by_dom2[r["domain"]] = by_dom2.get(r["domain"], 0) + 1
+        by_bucket[r["host_bucket"]] = by_bucket.get(r["host_bucket"], 0) + 1
+    assert by_dom2["hot.example.com"] <= quota
+    assert max(by_bucket.values()) <= quota  # no partition owns the round
+    assert by_dom2["hot.example.com"] / len(rows2) < 0.05  # ≪ the 50% corpus share
