@@ -731,6 +731,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return probe_image_meta(assets)
 
+    def q_media_meta(spark, sf):  # audio/video container probes over REAL bytes
+        # Spark side ENCODES a real FLAC / MP3 / OGG-Vorbis / MP4 payload
+        # per asset (parameters a pure function of the id) and probes it
+        # back via probe_media_meta — the oracle replays the arithmetic,
+        # so a probe bug (not just a builder bug) breaks the match
+        from hydra_spark.ml.multimodal import probe_media_meta
+
+        def gen(batches):
+            import struct
+
+            import pandas as pd
+
+            def flac(rate, ch, bits, total):
+                packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+                si = ((4096).to_bytes(2, "big") * 2 + (1024).to_bytes(3, "big") * 2
+                      + packed.to_bytes(8, "big") + b"\x00" * 16)
+                return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + si
+
+            def mp3(frames):
+                return (b"\xff\xfb\x90\x00" + b"\x00" * 413) * frames
+
+            def ogg_vorbis(rate, ch, nominal):
+                pkt = (b"\x01vorbis" + struct.pack("<IB", 0, ch) + struct.pack("<I", rate)
+                       + struct.pack("<iii", -1, nominal, -1) + b"\xb8\x01")
+                return (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00" + b"\x00" * 8
+                        + bytes([1, len(pkt)]) + pkt)
+
+            def mp4(dur_units, w, h):
+                def box(t, body):
+                    return (8 + len(body)).to_bytes(4, "big") + t + body
+
+                mvhd = box(b"mvhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+                           + dur_units.to_bytes(4, "big") + b"\x00" * 80)
+                tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                           + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big"))
+                return (box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42")
+                        + box(b"moov", mvhd + box(b"trak", tkhd)))
+
+            for pdf in batches:
+                payloads = []
+                for aid in pdf["asset_id"]:
+                    i, k = int(aid), int(aid) // 4
+                    if i % 4 == 0:
+                        payloads.append(flac(44100, 1 + k % 2, 16, (k % 10 + 1) * 44100))
+                    elif i % 4 == 1:
+                        payloads.append(mp3(3 + k % 5))
+                    elif i % 4 == 2:
+                        payloads.append(ogg_vorbis(32000 + (k % 3) * 8000, 1 + k % 2,
+                                                   (64 + (k % 4) * 32) * 1000))
+                    else:
+                        payloads.append(mp4(600 * (k % 20 + 1),
+                                            320 + (k % 8) * 160, 240 + (k % 8) * 120))
+                yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+        assets = spark.range(240).selectExpr("id as asset_id").mapInPandas(
+            gen, schema="asset_id long, payload binary"
+        )
+        return probe_media_meta(assets)
+
     def q_tile_assign(spark, sf):  # S14: slippy/Web-Mercator tiling math
         # synthetic points from the documents ids (both sides replay the
         # same arithmetic); offsets keep values off tile boundaries so
@@ -961,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_parse": q_xlsx_parse,
         "xls_parse": q_xls_parse,
         "image_meta": q_image_meta,
+        "media_meta": q_media_meta,
         "tile_assign": q_tile_assign,
         "csv_inspect": q_csv_inspect,
         "ogc_metadata": q_ogc_metadata,
@@ -1287,6 +1347,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST([1, 3, 4][i % 3 + 1] AS INT) AS channels,
                    CAST(8 AS INT) AS bit_depth
             FROM range(200) t(i)
+        """,
+        "media_meta": """
+            SELECT i AS asset_id,
+                   CASE i % 4 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+                              WHEN 2 THEN 'ogg-vorbis' ELSE 'mp4' END AS format,
+                   CAST(CASE WHEN i % 4 = 3 THEN 320 + ((i // 4) % 8) * 160 END AS INT) AS width,
+                   CAST(CASE WHEN i % 4 = 3 THEN 240 + ((i // 4) % 8) * 120 END AS INT) AS height,
+                   CAST(CASE WHEN i % 4 = 1 THEN 2
+                             WHEN i % 4 IN (0, 2) THEN 1 + (i // 4) % 2 END AS INT) AS n_channels,
+                   CAST(CASE WHEN i % 4 = 0 THEN 16 END AS INT) AS bit_depth,
+                   CAST(CASE WHEN i % 4 IN (0, 1) THEN 44100
+                             WHEN i % 4 = 2 THEN 32000 + ((i // 4) % 3) * 8000 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN i % 4 = 0 THEN ((i // 4) % 10 + 1) * 1000
+                             WHEN i % 4 = 1 THEN (417 * (3 + (i // 4) % 5) * 8 * 1000) // 128000
+                             WHEN i % 4 = 3 THEN ((i // 4) % 20 + 1) * 1000 END AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN i % 4 = 1 THEN 128
+                             WHEN i % 4 = 2 THEN 64 + ((i // 4) % 4) * 32 END AS INT) AS bitrate_kbps
+            FROM range(240) t(i)
         """,
         "csv_inspect": """
             SELECT 'https://files.example.com/t' || CAST(i AS VARCHAR) || '.csv' AS url,

@@ -26,6 +26,12 @@ Decode status:
   (version/layer/bitrate/sample-rate/channels + a CBR duration
   estimate) with a pure struct walk — ID3v2-aware, false-sync
   rejected by requiring chained frames. Decode still needs a codec.
+- FLAC (`parse_flac_header`: STREAMINFO rate/channels/bits/duration),
+  OGG (`parse_ogg_header`: Vorbis/Opus/FLAC-in-Ogg identification
+  headers + Theora video dimensions) and ISO BMFF MP4/M4A/MOV
+  (`parse_mp4_header`: ftyp brand, mvhd duration, first visual tkhd
+  dimensions; bounded box walk, hostile-size safe) probe the same way;
+  `parse_media_header` is the one-stop dispatch across every probe.
 - Compressed audio decode and video codecs still need external
   libraries (ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
@@ -691,6 +697,174 @@ def parse_mp3_header(payload: bytes, scan_limit: int = 4096) -> dict | None:
     return None
 
 
+def parse_flac_header(payload: bytes) -> dict | None:
+    """FLAC STREAMINFO probe (the mandatory first metadata block after
+    the ``fLaC`` marker — flac format spec §streaminfo): sample rate
+    (20 bits), channels (3 bits + 1), bits per sample (5 bits + 1) and
+    total samples (36 bits) from one packed 8-byte field. No decode."""
+    b = bytes(payload)
+    # marker + block header (4) + the 34-byte STREAMINFO body
+    if len(b) < 4 + 4 + 34 or b[:4] != b"fLaC" or (b[4] & 0x7F) != 0:
+        return None
+    body = b[8:42]
+    packed = int.from_bytes(body[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x07) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return {
+        "format": "flac",
+        "sample_rate": int(rate),
+        "n_channels": int(channels),
+        "bit_depth": int(bits),
+        "duration_ms": int(total * 1000 // rate),
+    }
+
+
+def parse_ogg_header(payload: bytes) -> dict | None:
+    """OGG container probe: walks the first page's segment table to the
+    first packet (RFC 3533) and reads the codec identification header —
+    Vorbis (``\\x01vorbis``), Opus (``OpusHead``), FLAC-in-Ogg
+    (``\\x7fFLAC``) or Theora video (``\\x80theora``, with picture
+    dimensions). Duration needs the last page's granule position, which
+    a header probe deliberately doesn't seek for."""
+    b = bytes(payload)
+    if len(b) < 28 or b[:4] != b"OggS" or b[4] != 0:
+        return None
+    nseg = b[26]
+    seg_table = b[27 : 27 + nseg]
+    if len(seg_table) < nseg:
+        return None
+    first_len = 0
+    for s in seg_table:
+        first_len += s
+        if s < 255:
+            break
+    pkt = b[27 + nseg : 27 + nseg + first_len]
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 28:
+        channels = pkt[11]
+        rate = int.from_bytes(pkt[12:16], "little")
+        nominal = int.from_bytes(pkt[20:24], "little", signed=True)
+        if rate == 0 or channels == 0:
+            return None
+        return {
+            "format": "ogg-vorbis",
+            "sample_rate": rate,
+            "n_channels": channels,
+            "bitrate_kbps": max(nominal, 0) // 1000 or None,
+        }
+    if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+        channels = pkt[9]
+        pre_skip = int.from_bytes(pkt[10:12], "little")
+        rate = int.from_bytes(pkt[12:16], "little")
+        return {
+            "format": "ogg-opus",
+            # OpusHead carries the ORIGINAL input rate; Opus itself
+            # always decodes at 48 kHz
+            "sample_rate": rate or 48000,
+            "n_channels": channels,
+            "pre_skip_samples": pre_skip,
+        }
+    if pkt[:5] == b"\x7fFLAC" and len(pkt) >= 13 + 42:
+        inner = parse_flac_header(pkt[9:])
+        if inner is not None:
+            inner["format"] = "ogg-flac"
+            return inner
+    if pkt[:7] == b"\x80theora" and len(pkt) >= 26:
+        # picture (not macroblock) dimensions: 24-bit fields at offsets
+        # 14/17 of the identification header
+        w = int.from_bytes(pkt[14:17], "big")
+        h = int.from_bytes(pkt[17:20], "big")
+        if w == 0 or h == 0:
+            return None
+        return {"format": "ogg-theora", "width": w, "height": h}
+    return None
+
+
+def parse_mp4_header(payload: bytes, scan_limit: int = 1 << 20) -> dict | None:
+    """ISO BMFF (MP4/M4A/MOV) probe: top-level box walk requiring
+    ``ftyp`` first (ISO 14496-12 §4), then ``moov``→``mvhd`` for
+    timescale/duration and the first visual ``tkhd`` for dimensions
+    (16.16 fixed point). Handles 64-bit largesize boxes; stops at
+    `scan_limit` — at 100 TB the probe must not chase an mdat to EOF."""
+    b = bytes(payload)
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(b[pos : pos + 4], "big")
+            btype = b[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:  # box extends to end of file
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return
+            yield btype, body, pos + size
+            pos += size
+
+    hi = min(len(b), scan_limit)
+    top = boxes(0, hi)
+    first = next(top, None)
+    if first is None or first[0] != b"ftyp":
+        return None
+    brand = b[first[1] : first[1] + 4].decode("latin-1").strip()
+    out: dict = {"format": "mp4", "major_brand": brand}
+    for btype, lo, end in boxes(0, hi):
+        if btype != b"moov":
+            continue
+        for ityp, ilo, iend in boxes(lo, end):
+            if ityp == b"mvhd" and iend - ilo >= 24:
+                ver = b[ilo]
+                if ver == 1:
+                    ts = int.from_bytes(b[ilo + 20 : ilo + 24], "big")
+                    dur = int.from_bytes(b[ilo + 24 : ilo + 32], "big")
+                else:
+                    ts = int.from_bytes(b[ilo + 12 : ilo + 16], "big")
+                    dur = int.from_bytes(b[ilo + 16 : ilo + 20], "big")
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif ityp == b"trak":
+                for ttyp, tlo, tend in boxes(ilo, iend):
+                    if ttyp != b"tkhd":
+                        continue
+                    ver = b[tlo]
+                    # width/height (16.16 fixed) sit after ver/flags,
+                    # times/ids, reserveds and the 36-byte matrix:
+                    # body offset 76 (v0) / 88 (v1, 64-bit times)
+                    off = tlo + (88 if ver == 1 else 76)
+                    if off + 8 <= tend:
+                        w = int.from_bytes(b[off : off + 4], "big") >> 16
+                        h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                        if w and h and "width" not in out:
+                            out["width"], out["height"] = w, h
+        break
+    return out
+
+
+def parse_media_header(payload: bytes) -> dict | None:
+    """One-stop container probe: images (PNG/GIF/BMP/JPEG), then WAV,
+    MP3, FLAC, OGG (Vorbis/Opus/FLAC/Theora) and ISO BMFF (MP4/M4A).
+    Returns the format-specific dict of the first probe that matches,
+    or None — the dispatch order puts cheap exact magics first and the
+    MP3 sync scan last among audio since it is the only heuristic."""
+    b = bytes(payload)
+    img = parse_image_header(b)
+    if img is not None:
+        return img
+    for probe in (parse_wav_header, parse_flac_header, parse_ogg_header, parse_mp4_header):
+        hdr = probe(b)
+        if hdr is not None:
+            return hdr
+    return parse_mp3_header(b)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (samples[n_frames, n_channels] float32 in [-1, 1],
     sample_rate) with the stdlib `wave` module alone (8/16/32-bit PCM;
@@ -802,6 +976,48 @@ def probe_image_meta(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(gen, schema=META_SCHEMA)
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.IntegerType(), True),
+    ]
+)
+
+
+def probe_media_meta(assets: DataFrame) -> DataFrame:
+    """`probe_image_meta` widened to every container probe
+    (`parse_media_header`): images, WAV, MP3, FLAC, OGG codecs and
+    MP4/M4A, unified into one typed row per asset with NULLs where a
+    format has no such field. Arrow-batched, no shuffle — the cheap
+    first pass over 100 TB of mixed payloads that decides what (if
+    anything) to decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["format", "width", "height", "n_channels", "bit_depth",
+                "sample_rate", "duration_ms", "bitrate_kbps"]
+        for pdf in batches:
+            rows = []
+            for aid, payload in pdf[["asset_id", "payload"]].itertuples(index=False):
+                try:
+                    hdr = parse_media_header(bytes(payload)) if payload is not None else None
+                except Exception:
+                    hdr = None  # poison payload → NULL row, never a dead batch
+                hdr = hdr or {}
+                if "channels" in hdr:  # image probes name it differently
+                    hdr["n_channels"] = hdr["channels"]
+                rows.append((int(aid), *[hdr.get(c) for c in cols]))
+            yield pd.DataFrame(rows, columns=["asset_id", *cols])
+
+    return assets.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:

@@ -101,17 +101,38 @@ def main() -> None:
     uniform = run_variant(n, 0.0)
     hot = run_variant(n, 0.5)
     ratio = hot["wall_s"] / uniform["wall_s"]
-    # per-URL ratio too: the hot corpus claims a different n_checked
+    # Raw per-URL wall is CONFOUNDED for the hot corpus: the bucket
+    # quota (and, at default config, the politeness budget) throttles
+    # the hot domain BY DESIGN, so hot rounds check fewer URLs and the
+    # fixed per-round cost (driver planning, manifest commits,
+    # small-table writes) inflates their per-URL wall. The honest
+    # serialization signal is the MARGINAL per-URL cost of the stages
+    # that scale with batch size (fetch+analysis+checks writes): if the
+    # hot domain serialized a partition, that is where it would show.
     per_url = (hot["wall_s"] / max(hot["n_checked"], 1)) / (
         uniform["wall_s"] / max(uniform["n_checked"], 1))
+    variable = ("analyse_write", "checks_write", "tables_index_write")
+
+    def marginal(v):
+        sec = sum(t.get(k, 0.0) for t in v["stage_timings"] for k in variable)
+        return sec / max(v["n_checked"], 1)
+
+    marg_ratio = marginal(hot) / marginal(uniform)
+    balance = hot["claim_spread"]["bucket_balance"]
     summary = {
         "n_urls": n,
         "uniform": uniform,
         "hot50": hot,
         "wall_ratio_hot_over_uniform": round(ratio, 3),
         "per_url_ratio_hot_over_uniform": round(per_url, 3),
-        "criterion": "hot/uniform wall within ~1.2x (SURVEY §7 risk register)",
-        "pass": per_url <= 1.2,
+        "marginal_us_per_url": {"uniform": round(marginal(uniform) * 1e6, 2),
+                                "hot50": round(marginal(hot) * 1e6, 2)},
+        "marginal_per_url_ratio_hot_over_uniform": round(marg_ratio, 3),
+        "criterion": "SURVEY §7 risk register: a 50%-hot domain must not "
+                     "serialize the claim or the round — round wall <= 1.2x "
+                     "uniform, marginal per-URL cost <= 1.2x, and no claim "
+                     "bucket owns the round (balance <= 2)",
+        "pass": ratio <= 1.2 and marg_ratio <= 1.2 and balance <= 2.0,
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:

@@ -745,6 +745,132 @@ def test_parse_mp3_header_rejects_false_sync():
     assert parse_mp3_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
 
 
+def _flac_bytes(rate=44100, ch=2, bits=16, total=441_000) -> bytes:
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2 + (1024).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    assert len(streaminfo) == 34
+    return b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + streaminfo
+
+
+def _ogg_page(packet: bytes) -> bytes:
+    assert len(packet) < 255
+    return (b"OggS" + b"\x00" + b"\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+            + b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(packet)]) + packet)
+
+
+def test_parse_flac_header():
+    from hydra_spark.ml.multimodal import parse_flac_header
+
+    hdr = parse_flac_header(_flac_bytes())
+    assert hdr == {"format": "flac", "sample_rate": 44100, "n_channels": 2,
+                   "bit_depth": 16, "duration_ms": 10000}
+    assert parse_flac_header(_flac_bytes(rate=96000, ch=1, bits=24, total=96000)) == {
+        "format": "flac", "sample_rate": 96000, "n_channels": 1,
+        "bit_depth": 24, "duration_ms": 1000}
+    assert parse_flac_header(b"fLaC" + b"\x00" * 10) is None  # truncated
+    assert parse_flac_header(b"not flac" * 10) is None
+
+
+def test_parse_ogg_header_codecs():
+    import struct
+
+    from hydra_spark.ml.multimodal import parse_ogg_header
+
+    vorbis = (b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", 44100)
+              + struct.pack("<iii", -1, 128000, -1) + b"\xb8\x01")
+    hdr = parse_ogg_header(_ogg_page(vorbis))
+    assert hdr == {"format": "ogg-vorbis", "sample_rate": 44100,
+                   "n_channels": 2, "bitrate_kbps": 128}
+
+    opus = b"OpusHead" + bytes([1, 2]) + struct.pack("<HI", 312, 48000) + b"\x00\x00\x00"
+    hdr = parse_ogg_header(_ogg_page(opus))
+    assert hdr == {"format": "ogg-opus", "sample_rate": 48000,
+                   "n_channels": 2, "pre_skip_samples": 312}
+
+    theora = (b"\x80theora" + bytes([3, 2, 1])
+              + struct.pack(">HH", 40, 30)            # frame macroblocks
+              + (640).to_bytes(3, "big") + (480).to_bytes(3, "big") + b"\x00" * 10)
+    hdr = parse_ogg_header(_ogg_page(theora))
+    assert hdr == {"format": "ogg-theora", "width": 640, "height": 480}
+
+    assert parse_ogg_header(_ogg_page(b"\x01video something")) is None
+    assert parse_ogg_header(b"OggS" + b"\x01" + b"\x00" * 40) is None  # bad version
+    assert parse_ogg_header(b"no ogg here" * 5) is None
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def test_parse_mp4_header():
+    from hydra_spark.ml.multimodal import parse_mp4_header
+
+    # mvhd v0: ver/flags, ctime, mtime, timescale=600, duration=7200 (12 s)
+    mvhd = _mp4_box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                    + (600).to_bytes(4, "big") + (7200).to_bytes(4, "big") + b"\x00" * 80)
+    # tkhd v0: 76 bytes to width/height (16.16 fixed)
+    tkhd = _mp4_box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 72
+                    + (1280 << 16).to_bytes(4, "big") + (720 << 16).to_bytes(4, "big"))
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    mp4 = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42") + moov
+    hdr = parse_mp4_header(mp4)
+    assert hdr == {"format": "mp4", "major_brand": "isom", "duration_ms": 12000,
+                   "width": 1280, "height": 720}
+
+    # v1 mvhd (64-bit times), audio-only (no tkhd dims)
+    mvhd1 = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + (1000).to_bytes(4, "big") + (2500).to_bytes(8, "big") + b"\x00" * 80)
+    m4a = _mp4_box(b"ftyp", b"M4A " + b"\x00" * 4) + _mp4_box(b"moov", mvhd1)
+    hdr = parse_mp4_header(m4a)
+    assert hdr == {"format": "mp4", "major_brand": "M4A", "duration_ms": 2500}
+
+    # no ftyp first -> not ISO BMFF; truncated/hostile sizes -> None, no crash
+    assert parse_mp4_header(moov + mp4) is None
+    assert parse_mp4_header(_mp4_box(b"ftyp", b"isom")[:6]) is None
+    evil = (2**31).to_bytes(4, "big") + b"ftyp" + b"\x00" * 8
+    assert parse_mp4_header(evil) is None
+
+
+def test_parse_media_header_dispatch():
+    from hydra_spark.ml.multimodal import encode_png, parse_media_header
+
+    import numpy as np
+
+    png = encode_png(np.zeros((4, 6, 3), dtype=np.uint8))
+    assert parse_media_header(png)["format"] == "png"
+    assert parse_media_header(_flac_bytes())["format"] == "flac"
+    mp3 = _mp3_frames(b"\xff\xfb\x90\x00", 417)
+    assert parse_media_header(mp3)["format"] == "mp3"
+    assert parse_media_header(b"\x00" * 100) is None
+    # exact-magic probes win before the mp3 sync scan: a FLAC stream
+    # whose body bytes contain a fake mp3 sync still probes as flac
+    noisy = _flac_bytes() + _mp3_frames(b"\xff\xfb\x90\x00", 417)
+    assert parse_media_header(noisy)["format"] == "flac"
+
+
+def test_probe_media_meta_unified_rows(spark):
+    from pyspark.sql import Row
+
+    from hydra_spark.ml.multimodal import probe_media_meta
+
+    assets = spark.createDataFrame(
+        [
+            Row(asset_id=0, payload=bytearray(_flac_bytes())),
+            Row(asset_id=1, payload=bytearray(_mp3_frames(b"\xff\xfb\x90\x00", 417))),
+            Row(asset_id=2, payload=bytearray(b"\xde\xad\xbe\xef" * 64)),  # junk
+            Row(asset_id=3, payload=None),                                 # poison
+        ]
+    )
+    rows = {r.asset_id: r for r in probe_media_meta(assets).collect()}
+    assert rows[0].format == "flac" and rows[0].sample_rate == 44100
+    assert rows[0].n_channels == 2 and rows[0].duration_ms == 10000
+    assert rows[1].format == "mp3" and rows[1].bitrate_kbps == 128
+    assert rows[2].format is None and rows[3].format is None  # NULL, no crash
+
+
 def test_extract_features_real_wav_path(spark):
     import io
     import wave
