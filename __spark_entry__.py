@@ -769,23 +769,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 return (box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42")
                         + box(b"moov", mvhd + box(b"trak", tkhd)))
 
+            def webm(dur_ms, w, h, rate, ch):
+                def el(eid, body):
+                    return eid + bytes([0x80 | len(body)]) + body
+
+                header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+                info = el(b"\x15\x49\xa9\x66",
+                          el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                          + el(b"\x44\x89", struct.pack(">d", float(dur_ms))))
+                vtrk = el(b"\xae", el(b"\xe0", el(b"\xb0", w.to_bytes(2, "big"))
+                                      + el(b"\xba", h.to_bytes(2, "big"))))
+                atrk = el(b"\xae", el(b"\xe1", el(b"\xb5", struct.pack(">f", float(rate)))
+                                      + el(b"\x9f", bytes([ch]))))
+                tracks = el(b"\x16\x54\xae\x6b", vtrk + atrk)
+                return header + el(b"\x18\x53\x80\x67", info + tracks)
+
             for pdf in batches:
                 payloads = []
                 for aid in pdf["asset_id"]:
-                    i, k = int(aid), int(aid) // 4
-                    if i % 4 == 0:
+                    i, k = int(aid), int(aid) // 5
+                    if i % 5 == 0:
                         payloads.append(flac(44100, 1 + k % 2, 16, (k % 10 + 1) * 44100))
-                    elif i % 4 == 1:
+                    elif i % 5 == 1:
                         payloads.append(mp3(3 + k % 5))
-                    elif i % 4 == 2:
+                    elif i % 5 == 2:
                         payloads.append(ogg_vorbis(32000 + (k % 3) * 8000, 1 + k % 2,
                                                    (64 + (k % 4) * 32) * 1000))
-                    else:
+                    elif i % 5 == 3:
                         payloads.append(mp4(600 * (k % 20 + 1),
                                             320 + (k % 8) * 160, 240 + (k % 8) * 120))
+                    else:
+                        payloads.append(webm((k % 15 + 1) * 500, 426 + (k % 6) * 160,
+                                             240 + (k % 6) * 90, 48000, 1 + k % 2))
                 yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
-        assets = spark.range(240).selectExpr("id as asset_id").mapInPandas(
+        assets = spark.range(250).selectExpr("id as asset_id").mapInPandas(
             gen, schema="asset_id long, payload binary"
         )
         return probe_media_meta(assets)
@@ -1350,21 +1368,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": """
             SELECT i AS asset_id,
-                   CASE i % 4 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
-                              WHEN 2 THEN 'ogg-vorbis' ELSE 'mp4' END AS format,
-                   CAST(CASE WHEN i % 4 = 3 THEN 320 + ((i // 4) % 8) * 160 END AS INT) AS width,
-                   CAST(CASE WHEN i % 4 = 3 THEN 240 + ((i // 4) % 8) * 120 END AS INT) AS height,
-                   CAST(CASE WHEN i % 4 = 1 THEN 2
-                             WHEN i % 4 IN (0, 2) THEN 1 + (i // 4) % 2 END AS INT) AS n_channels,
-                   CAST(CASE WHEN i % 4 = 0 THEN 16 END AS INT) AS bit_depth,
-                   CAST(CASE WHEN i % 4 IN (0, 1) THEN 44100
-                             WHEN i % 4 = 2 THEN 32000 + ((i // 4) % 3) * 8000 END AS INT) AS sample_rate,
-                   CAST(CASE WHEN i % 4 = 0 THEN ((i // 4) % 10 + 1) * 1000
-                             WHEN i % 4 = 1 THEN (417 * (3 + (i // 4) % 5) * 8 * 1000) // 128000
-                             WHEN i % 4 = 3 THEN ((i // 4) % 20 + 1) * 1000 END AS BIGINT) AS duration_ms,
-                   CAST(CASE WHEN i % 4 = 1 THEN 128
-                             WHEN i % 4 = 2 THEN 64 + ((i // 4) % 4) * 32 END AS INT) AS bitrate_kbps
-            FROM range(240) t(i)
+                   CASE i % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+                              WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'mp4'
+                              ELSE 'webm' END AS format,
+                   CAST(CASE WHEN i % 5 = 3 THEN 320 + ((i // 5) % 8) * 160
+                             WHEN i % 5 = 4 THEN 426 + ((i // 5) % 6) * 160 END AS INT) AS width,
+                   CAST(CASE WHEN i % 5 = 3 THEN 240 + ((i // 5) % 8) * 120
+                             WHEN i % 5 = 4 THEN 240 + ((i // 5) % 6) * 90 END AS INT) AS height,
+                   CAST(CASE WHEN i % 5 = 1 THEN 2
+                             WHEN i % 5 IN (0, 2, 4) THEN 1 + (i // 5) % 2 END AS INT) AS n_channels,
+                   CAST(CASE WHEN i % 5 = 0 THEN 16 END AS INT) AS bit_depth,
+                   CAST(CASE WHEN i % 5 IN (0, 1) THEN 44100
+                             WHEN i % 5 = 2 THEN 32000 + ((i // 5) % 3) * 8000
+                             WHEN i % 5 = 4 THEN 48000 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN i % 5 = 0 THEN ((i // 5) % 10 + 1) * 1000
+                             WHEN i % 5 = 1 THEN (417 * (3 + (i // 5) % 5) * 8 * 1000) // 128000
+                             WHEN i % 5 = 3 THEN ((i // 5) % 20 + 1) * 1000
+                             WHEN i % 5 = 4 THEN ((i // 5) % 15 + 1) * 500 END AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN i % 5 = 1 THEN 128
+                             WHEN i % 5 = 2 THEN 64 + ((i // 5) % 4) * 32 END AS INT) AS bitrate_kbps
+            FROM range(250) t(i)
         """,
         "csv_inspect": """
             SELECT 'https://files.example.com/t' || CAST(i AS VARCHAR) || '.csv' AS url,

@@ -28,10 +28,13 @@ Decode status:
   rejected by requiring chained frames. Decode still needs a codec.
 - FLAC (`parse_flac_header`: STREAMINFO rate/channels/bits/duration),
   OGG (`parse_ogg_header`: Vorbis/Opus/FLAC-in-Ogg identification
-  headers + Theora video dimensions) and ISO BMFF MP4/M4A/MOV
+  headers + Theora video dimensions), ISO BMFF MP4/M4A/MOV
   (`parse_mp4_header`: ftyp brand, mvhd duration, first visual tkhd
-  dimensions; bounded box walk, hostile-size safe) probe the same way;
-  `parse_media_header` is the one-stop dispatch across every probe.
+  dimensions; bounded box walk, hostile-size safe) and Matroska/WebM
+  (`parse_webm_header`: bounded EBML walk — doctype, duration,
+  video dimensions, audio rate/channels) probe the same way;
+  `parse_media_header` is the one-stop dispatch across every probe,
+  and `probe_media_meta` runs it as one Arrow-batched typed pass.
 - Compressed audio decode and video codecs still need external
   libraries (ffmpeg, absent in this container): those raise
   NotImplementedError unless `fake=True`, in which case a
@@ -848,6 +851,108 @@ def parse_mp4_header(payload: bytes, scan_limit: int = 1 << 20) -> dict | None:
     return out
 
 
+def parse_webm_header(payload: bytes, scan_limit: int = 1 << 20) -> dict | None:
+    """Matroska/WebM probe via a bounded EBML walk (RFC 8794 varints +
+    the Matroska element IDs): DocType from the EBML header, then
+    Segment→Info for TimestampScale/Duration and Segment→Tracks for the
+    first video PixelWidth/PixelHeight and audio SamplingFrequency/
+    Channels. Unknown-size elements (streamed files) descend rather
+    than skip; stops at `scan_limit` so a Cluster-first stream can't
+    make the probe chase media data."""
+    b = bytes(payload)
+    if b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    hi = min(len(b), scan_limit)
+
+    def varint(pos: int, keep_marker: bool) -> tuple[int, int] | None:
+        if pos >= hi:
+            return None
+        first = b[pos]
+        if first == 0:
+            return None
+        length = 9 - first.bit_length()
+        if pos + length > hi:
+            return None
+        val = int.from_bytes(b[pos : pos + length], "big")
+        if not keep_marker:
+            val &= (1 << (7 * length)) - 1
+            if val == (1 << (7 * length)) - 1:
+                val = -1  # unknown size (live streams): caller descends
+        return val, pos + length
+
+    def elements(lo: int, end: int):
+        pos = lo
+        while pos < end:
+            r = varint(pos, keep_marker=True)
+            if r is None:
+                return
+            eid, pos = r
+            r = varint(pos, keep_marker=False)
+            if r is None:
+                return
+            size, pos = r
+            body_end = end if size < 0 else min(pos + size, end)
+            yield eid, pos, body_end, size
+            pos = body_end if size >= 0 else end
+
+    def find(lo: int, end: int, wanted: int) -> tuple[int, int] | None:
+        for eid, body, body_end, size in elements(lo, end):
+            if eid == wanted:
+                return body, body_end
+            if size < 0:  # unknown-size master: children follow inline
+                return find(body, end, wanted)
+        return None
+
+    out: dict = {"format": "webm"}
+    header = find(0, hi, 0x1A45DFA3)
+    if header is None:
+        return None
+    doctype = find(header[0], header[1], 0x4282)
+    if doctype is not None:
+        out["doctype"] = b[doctype[0] : doctype[1]].decode("latin-1").rstrip("\x00")
+        if out["doctype"] not in ("webm", "matroska"):
+            return None
+    segment = find(header[1], hi, 0x18538067)
+    if segment is None:
+        return out
+    info = find(segment[0], segment[1], 0x1549A966)
+    if info is not None:
+        import struct
+
+        scale_el = find(info[0], info[1], 0x2AD7B1)
+        scale = int.from_bytes(b[scale_el[0] : scale_el[1]], "big") if scale_el else 1_000_000
+        dur_el = find(info[0], info[1], 0x4489)
+        if dur_el is not None:
+            raw = b[dur_el[0] : dur_el[1]]
+            dur = struct.unpack(">f" if len(raw) == 4 else ">d", raw)[0]
+            out["duration_ms"] = int(dur * scale / 1e6)
+    tracks = find(segment[0], segment[1], 0x1654AE6B)
+    if tracks is not None:
+        for eid, body, body_end, _ in elements(tracks[0], tracks[1]):
+            if eid != 0xAE:  # TrackEntry
+                continue
+            video = find(body, body_end, 0xE0)
+            if video is not None and "width" not in out:
+                w = find(video[0], video[1], 0xB0)
+                h = find(video[0], video[1], 0xBA)
+                if w and h:
+                    out["width"] = int.from_bytes(b[w[0] : w[1]], "big")
+                    out["height"] = int.from_bytes(b[h[0] : h[1]], "big")
+            audio = find(body, body_end, 0xE1)
+            if audio is not None and "sample_rate" not in out:
+                import struct
+
+                f = find(audio[0], audio[1], 0xB5)
+                if f:
+                    raw = b[f[0] : f[1]]
+                    out["sample_rate"] = int(
+                        struct.unpack(">f" if len(raw) == 4 else ">d", raw)[0]
+                    )
+                ch = find(audio[0], audio[1], 0x9F)
+                out["n_channels"] = int.from_bytes(b[ch[0] : ch[1]], "big") if ch else 1
+    return out
+
+
 def parse_media_header(payload: bytes) -> dict | None:
     """One-stop container probe: images (PNG/GIF/BMP/JPEG), then WAV,
     MP3, FLAC, OGG (Vorbis/Opus/FLAC/Theora) and ISO BMFF (MP4/M4A).
@@ -858,7 +963,8 @@ def parse_media_header(payload: bytes) -> dict | None:
     img = parse_image_header(b)
     if img is not None:
         return img
-    for probe in (parse_wav_header, parse_flac_header, parse_ogg_header, parse_mp4_header):
+    for probe in (parse_wav_header, parse_flac_header, parse_ogg_header,
+                  parse_mp4_header, parse_webm_header):
         hdr = probe(b)
         if hdr is not None:
             return hdr

@@ -834,6 +834,46 @@ def test_parse_mp4_header():
     assert parse_mp4_header(evil) is None
 
 
+def _ebml(eid: bytes, body: bytes) -> bytes:
+    assert len(body) < 127
+    return eid + bytes([0x80 | len(body)]) + body
+
+
+def test_parse_webm_header():
+    import struct
+
+    from hydra_spark.ml.multimodal import parse_webm_header
+
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml(b"\x44\x89", struct.pack(">d", 12345.0)),
+    )
+    video_trk = _ebml(b"\xae", _ebml(
+        b"\xe0",
+        _ebml(b"\xb0", (640).to_bytes(2, "big")) + _ebml(b"\xba", (360).to_bytes(2, "big")),
+    ))
+    audio_trk = _ebml(b"\xae", _ebml(
+        b"\xe1",
+        _ebml(b"\xb5", struct.pack(">f", 48000.0)) + _ebml(b"\x9f", b"\x02"),
+    ))
+    tracks = _ebml(b"\x16\x54\xae\x6b", video_trk + audio_trk)
+    webm = header + _ebml(b"\x18\x53\x80\x67", info + tracks)
+
+    hdr = parse_webm_header(webm)
+    assert hdr == {"format": "webm", "doctype": "webm", "duration_ms": 12345,
+                   "width": 640, "height": 360, "sample_rate": 48000, "n_channels": 2}
+
+    # matroska doctype accepted; foreign EBML (e.g. other doctypes) is not
+    mkv = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"matroska"))
+    assert parse_webm_header(mkv + _ebml(b"\x18\x53\x80\x67", info))["duration_ms"] == 12345
+    foreign = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"banana"))
+    assert parse_webm_header(foreign) is None
+    assert parse_webm_header(b"\x00" * 40) is None
+    assert parse_webm_header(webm[:9]) is None  # truncated: no crash
+
+
 def test_parse_media_header_dispatch():
     from hydra_spark.ml.multimodal import encode_png, parse_media_header
 
