@@ -636,6 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_xlsx_parse(spark, sf):  # S7: stdlib xlsx decode → typed ingest
+        # `seen` is a DATE-STYLED cell (styles.xml numFmt 22): the codec
+        # must resolve the style and render str(openpyxl's datetime) —
+        # the oracle replays the timestamp grammar, so a serial leaking
+        # through as raw digits breaks the hash match
+        import datetime as _dt
+
         from hydra_spark.analysis.excel import analyse_excel_batch
         from hydra_spark.analysis.xlsx import xlsx_bytes
 
@@ -643,8 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (
                 f"https://files.example.com/wb{i}.xlsx", f"r{i}", "d1",
                 bytearray(xlsx_bytes(
-                    [["code", "label", "ratio"]]
-                    + [[i * 100 + j, f"item_{j}", j + 0.5] for j in range(1, 5)]
+                    [["code", "label", "ratio", "seen"]]
+                    + [[i * 100 + j, f"item_{j}", j + 0.5,
+                        _dt.datetime(2020, 1, 1) + _dt.timedelta(days=i, hours=j)]
+                       for j in range(1, 5)]
                 )),
                 f"tbl{i}",
             )
@@ -660,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.get_json_object("row_json", "$.code").cast("int").alias("code"),
             F.get_json_object("row_json", "$.label").alias("label"),
             F.get_json_object("row_json", "$.ratio").cast("double").alias("ratio"),
+            F.get_json_object("row_json", "$.seen").alias("seen"),
         )
 
     def q_xls_parse(spark, sf):  # S7: stdlib BIFF8 (.xls) decode → typed ingest
@@ -1325,7 +1334,9 @@ def oracle_sql() -> dict[str, str]:
                    j AS __id,
                    CAST(i * 100 + j AS INT) AS code,
                    'item_' || CAST(j AS VARCHAR) AS label,
-                   CAST(j + 0.5 AS DOUBLE) AS ratio
+                   CAST(j + 0.5 AS DOUBLE) AS ratio,
+                   CAST(TIMESTAMP '2020-01-01 00:00:00'
+                        + INTERVAL (i) DAY + INTERVAL (j) HOUR AS VARCHAR) AS seen
             FROM range(50) t(i), range(1, 5) u(j)
         """,
         "xls_parse": """

@@ -276,3 +276,88 @@ def test_crawl_round_parses_xls_pages(spark, tmp_path):
     )
     assert joined.where(F.col("extracted") != F.col("text")).count() == 0
     assert joined.count() == len(xls_checks)
+
+
+def test_xlsx_date_cells_render_like_openpyxl():
+    """Date-styled serials must extract as str(openpyxl's value) — the
+    reference engine resolves number formats (utils/reader.py:31-43 via
+    openpyxl), so raw serials leaking through would break the per-row
+    extracted-text parity for any sheet with a date column."""
+    import datetime as dt
+
+    from hydra_spark.analysis.xlsx import _is_date_format, _serial_str
+
+    # writer twin round-trips datetime/date/time through real styles.xml
+    rows = [
+        ["name", "when", "day", "clock", "n"],
+        ["a", dt.datetime(2023, 3, 15, 14, 30, 5), dt.date(2024, 2, 29), dt.time(7, 5, 9), 42],
+        ["b", dt.datetime(1900, 1, 1, 12, 0), dt.date(1900, 3, 1), dt.time(0, 0, 30), 2.5],
+    ]
+    assert xlsx_rows(xlsx_bytes(rows)) == [
+        ["name", "when", "day", "clock", "n"],
+        ["a", "2023-03-15 14:30:05", "2024-02-29 00:00:00", "07:05:09", "42"],
+        ["b", "1900-01-01 12:00:00", "1900-03-01 00:00:00", "00:00:30", "2.5"],
+    ]
+
+    # 1900-system vectors incl. the phantom-leap-day shift under serial 60
+    assert _serial_str("1", "date", False) == "1900-01-01 00:00:00"
+    assert _serial_str("59", "date", False) == "1900-02-28 00:00:00"
+    assert _serial_str("61", "date", False) == "1900-03-01 00:00:00"
+    assert _serial_str("45000.75", "date", False) == "2023-03-15 18:00:00"
+    assert _serial_str("0.5", "date", False) == "12:00:00"  # pure time-of-day
+    assert _serial_str("366", "date", True) == "1905-01-01 00:00:00"  # 1904 epoch
+    assert _serial_str("1.5", "timedelta", False) == "1 day, 12:00:00"  # [h]:mm:ss
+
+    # custom-format date detection mirrors openpyxl's is_date_format
+    assert _is_date_format("dd/mm/yyyy") and _is_date_format("[$-409]d-mmm-yy")
+    assert _is_date_format("yyyy-mm-dd;@") and _is_date_format("h:mm AM/PM")
+    assert not _is_date_format("0.00") and not _is_date_format('"m"0.0')
+    assert not _is_date_format("[RED]0.0") and not _is_date_format("General")
+
+    # bool cells extract as str(bool), not '0'/'1'
+    import io
+    import re
+    import zipfile
+
+    data = xlsx_bytes([["flag", 1]])
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    parts = {n: zf.read(n) for n in zf.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = re.sub(
+        rb'<c r="B1"><v>1</v></c>', rb'<c r="B1" t="b"><v>1</v></c>',
+        parts["xl/worksheets/sheet1.xml"],
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, c in parts.items():
+            out.writestr(n, c)
+    assert xlsx_rows(buf.getvalue()) == [["flag", "True"]]
+
+    # date-free workbooks emit no styles part: fixture bytes unchanged
+    assert "xl/styles.xml" not in zipfile.ZipFile(
+        io.BytesIO(xlsx_bytes([["a", 1]]))
+    ).namelist()
+
+
+def test_xlsx_date_column_types_as_datetime(spark):
+    """A date-styled xlsx column lands in the typed store as datetime —
+    identical rows to the CSV route fed the rendered strings."""
+    import datetime as dt
+
+    header = ["code", "seen_at"]
+    data_rows = [
+        ["75056", dt.datetime(2023, 3, 15, 14, 30, 5)],
+        ["13055", dt.datetime(2024, 2, 29, 0, 0, 0)],
+    ]
+    csv_text = "code,seen_at\n75056,2023-03-15 14:30:05\n13055,2024-02-29 00:00:00"
+    xdf = spark.createDataFrame(
+        [("http://x/d.xlsx", "r1", "d1", bytearray(xlsx_bytes([header] + data_rows)), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    cdf = spark.createDataFrame(
+        [("http://x/d.xlsx", "r1", "d1", bytearray(csv_text.encode()), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    got_x = {r["__id"]: r["row_json"] for r in analyse_excel_batch(xdf).collect()}
+    got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
+    assert got_x == got_c and len(got_x) == 2
+    assert "2023-03-15" in got_x[1]
