@@ -673,7 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_xls_parse(spark, sf):  # S7: stdlib BIFF8 (.xls) decode → typed ingest
         # same id grammar as xlsx_parse but through the OLE2/BIFF codec
-        # (hydra_spark/analysis/xls.py) — the oracle replays the grammar
+        # (hydra_spark/analysis/xls.py) — the oracle replays the grammar;
+        # odd workbooks are BIFF5 (Excel 5.0/95: 'Book' stream, inline
+        # codepage strings, no SST), so both codec eras are driver-gated
         from hydra_spark.analysis.excel import analyse_excel_batch
         from hydra_spark.analysis.xls import xls_bytes
 
@@ -682,7 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 f"https://files.example.com/wb{i}.xls", f"r{i}", "d1",
                 bytearray(xls_bytes(
                     [["code", "label", "ratio"]]
-                    + [[i * 100 + j, f"item_{j}", j + 0.5] for j in range(1, 5)]
+                    + [[i * 100 + j, f"item_{j}", j + 0.5] for j in range(1, 5)],
+                    biff=5 if i % 2 else 8,
                 )),
                 f"tbl{i}",
             )

@@ -6,9 +6,14 @@ container, so this is a bounded from-scratch BIFF8 reader over the
 stdlib: the OLE2/CFB container (FAT + miniFAT chains), the Workbook
 stream's globals substream (BOUNDSHEET + SST with CONTINUE handling),
 and the cell records that carry strings and numbers (LABELSST, LABEL,
-RSTRING, NUMBER, RK, MULRK, BOOLERR, FORMULA+STRING). Styles, dates,
-charts, rich-text formatting runs and BIFF5 are out of scope — cells
-degrade to "" rather than erroring.
+RSTRING, NUMBER, RK, MULRK, BOOLERR, FORMULA+STRING). BIFF5/7 ('Book'
+streams, Excel 5.0/95) is read too: no SST, inline codepage byte
+strings (CODEPAGE record honored, cp1252 default), version detected
+from the BOF record. Styles, dates, charts and rich-text formatting
+runs are out of scope — cells degrade to "" rather than erroring;
+date cells stay raw serials, which matches the reference engine: xlrd
+yields the serial float as Cell.value (the typed result after smart
+cast is the same number).
 
 ``xls_bytes`` is the deterministic writer twin (fixtures/datagen), like
 ``xlsx_bytes`` for xlsx: a minimal single-FAT OLE2 container holding a
@@ -215,11 +220,29 @@ def _rk_value(rk: int) -> float:
     return v
 
 
-def _parse_globals(stream: bytes) -> tuple[list[tuple[str, int]], list[str]]:
-    """→ ([(sheet_name, stream_offset)], shared_strings)."""
+def _codec_for(codepage: int) -> str:
+    """BIFF CODEPAGE → python codec (xlrd's encoding_from_codepage)."""
+    special = {10000: "mac_roman", 1200: "utf-16-le", 367: "ascii", 32768: "mac_roman"}
+    if codepage in special:
+        return special[codepage]
+    try:
+        b"".decode(f"cp{codepage}")
+        return f"cp{codepage}"
+    except LookupError:
+        return "latin-1"
+
+
+def _parse_globals(stream: bytes) -> tuple[list[tuple[str, int]], list[str], int, str]:
+    """→ ([(sheet_name, stream_offset)], shared_strings, biff_version,
+    codec). BIFF5 ('Book' streams, Excel 5.0/95 — the reference reads
+    them via xlrd) has no SST and stores names/labels as codepage byte
+    strings; the BOF version field (0x0500 vs 0x0600) disambiguates."""
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []
     pending_sst: list[bytes] | None = None
+    biff = 8
+    codec = "latin-1"
+    first = True
 
     def flush_sst():
         nonlocal pending_sst
@@ -232,10 +255,22 @@ def _parse_globals(stream: bytes) -> tuple[list[tuple[str, int]], list[str]]:
         pending_sst = None
 
     for op, data in _Records(stream):
-        if op == 0x0085:  # BOUNDSHEET
+        if first:
+            first = False
+            if op == 0x0809 and len(data) >= 2:  # BOF: vers 0x0500 = BIFF5/7
+                vers = struct.unpack_from("<H", data, 0)[0]
+                if vers and vers < 0x0600:
+                    biff, codec = 5, "cp1252"
+        if op == 0x0042 and len(data) >= 2:  # CODEPAGE
+            codec = _codec_for(struct.unpack_from("<H", data, 0)[0])
+        elif op == 0x0085:  # BOUNDSHEET
             pos = struct.unpack_from("<I", data, 0)[0]
-            sheets.append((_short_unistr(data, 6), pos))
-        elif op == 0x00FC:  # SST
+            if biff >= 8:
+                name = _short_unistr(data, 6)
+            else:  # byte string: cch + codepage chars
+                name = data[7 : 7 + data[6]].decode(codec, "replace")
+            sheets.append((name, pos))
+        elif op == 0x00FC:  # SST (BIFF8 only)
             pending_sst = [data]
             continue
         elif op == 0x003C and pending_sst is not None:  # CONTINUE
@@ -245,10 +280,12 @@ def _parse_globals(stream: bytes) -> tuple[list[tuple[str, int]], list[str]]:
             break
         flush_sst()
     flush_sst()
-    return sheets, sst
+    return sheets, sst, biff, codec
 
 
-def _parse_sheet(stream: bytes, pos: int, sst: list[str]) -> list[list[str]]:
+def _parse_sheet(
+    stream: bytes, pos: int, sst: list[str], biff: int = 8, codec: str = "latin-1"
+) -> list[list[str]]:
     cells: dict[int, dict[int, str]] = {}
 
     def put(r: int, c: int, v: str):
@@ -273,18 +310,24 @@ def _parse_sheet(stream: bytes, pos: int, sst: list[str]) -> list[list[str]]:
             for i in range(n):
                 rk = struct.unpack_from("<I", data, 4 + 6 * i + 2)[0]
                 put(r, c0 + i, _num_str(_rk_value(rk)))
-        elif op == 0x0204:  # LABEL (BIFF8 unicode string cell)
+        elif op == 0x0204:  # LABEL (BIFF8 unicode / BIFF5 byte string cell)
             r, c, _ = struct.unpack_from("<HHH", data)
-            cch, grbit = struct.unpack_from("<HB", data, 6)
-            raw = data[9 : 9 + cch * (2 if grbit & 1 else 1)]
-            put(r, c, raw.decode("utf-16-le" if grbit & 1 else "latin-1", "replace"))
+            cch = struct.unpack_from("<H", data, 6)[0]
+            if biff >= 8:
+                grbit = data[8]
+                raw = data[9 : 9 + cch * (2 if grbit & 1 else 1)]
+                put(r, c, raw.decode("utf-16-le" if grbit & 1 else "latin-1", "replace"))
+            else:
+                put(r, c, data[8 : 8 + cch].decode(codec, "replace"))
         elif op == 0x00D6:  # RSTRING (legacy rich string cell)
             r, c, _ = struct.unpack_from("<HHH", data)
             cch = struct.unpack_from("<H", data, 6)[0]
-            put(r, c, data[8 : 8 + cch].decode("latin-1"))
+            put(r, c, data[8 : 8 + cch].decode(codec, "replace"))
         elif op == 0x0205:  # BOOLERR
             r, c, _, val, is_err = struct.unpack_from("<HHHBB", data)
-            put(r, c, "" if is_err else str(val))  # matches xlsx t="b" → "0"/"1"
+            # xlrd yields int 1/0 for BIFF bool cells (str → '1'/'0');
+            # openpyxl's bool→'True'/'False' applies only to the xlsx path
+            put(r, c, "" if is_err else str(val))
         elif op == 0x0006:  # FORMULA: cached numeric result or string marker
             r, c, _ = struct.unpack_from("<HHH", data)
             result = data[6:14]
@@ -319,12 +362,17 @@ def xls_sheet_names(data: bytes) -> list[str]:
     return [name for name, _ in _parse_globals(stream)[0]]
 
 
+def xls_biff_version(data: bytes) -> int:
+    """5 for BIFF5/7 (Excel 5.0/95), 8 for BIFF8 (Excel 97+)."""
+    return _parse_globals(_cfb_stream(data, ("Workbook", "Book")))[2]
+
+
 def xls_rows(data: bytes, sheet_name: str | None = None) -> list[list[str]]:
     """Legacy .xls → rows of strings; ``sheet_name`` selects like the
     reference's inspection-driven ``wb[sheet_name]`` (utils/reader.py:41),
     default first sheet in workbook order."""
     stream = _cfb_stream(data, ("Workbook", "Book"))
-    sheets, sst = _parse_globals(stream)
+    sheets, sst, biff, codec = _parse_globals(stream)
     if not sheets:
         raise ValueError("xls: no BOUNDSHEET records")
     if sheet_name is None:
@@ -334,7 +382,7 @@ def xls_rows(data: bytes, sheet_name: str | None = None) -> list[list[str]]:
         if not match:
             raise ValueError(f"xls: no sheet named {sheet_name!r}")
         pos = match[0]
-    return _parse_sheet(stream, pos, sst)
+    return _parse_sheet(stream, pos, sst, biff, codec)
 
 
 # --------------------------------------------------------------- BIFF8 write
@@ -344,18 +392,21 @@ def _rec(op: int, payload: bytes) -> bytes:
     return struct.pack("<HH", op, len(payload)) + payload
 
 
-def _biff_workbook(sheets: list[tuple[str, list[list]]]) -> bytes:
-    """Minimal BIFF8 stream: globals (BOUNDSHEETs + SST) + one substream
-    per sheet with LABELSST/NUMBER cells."""
+def _biff_workbook(sheets: list[tuple[str, list[list]]], biff: int = 8) -> bytes:
+    """Minimal BIFF stream: globals (BOUNDSHEETs + SST for BIFF8) + one
+    substream per sheet. BIFF8 string cells are LABELSST; BIFF5 has no
+    SST — strings are inline LABEL byte strings (cp1252)."""
+    vers = 0x0600 if biff >= 8 else 0x0500
     # shared string table over all string cells, in first-seen order
     sst_index: dict[str, int] = {}
     total_refs = 0
-    for _, rows in sheets:
-        for row in rows:
-            for v in row:
-                if not (isinstance(v, (int, float)) and not isinstance(v, bool)):
-                    total_refs += 1
-                    sst_index.setdefault(str(v), len(sst_index))
+    if biff >= 8:
+        for _, rows in sheets:
+            for row in rows:
+                for v in row:
+                    if not (isinstance(v, (int, float)) and not isinstance(v, bool)):
+                        total_refs += 1
+                        sst_index.setdefault(str(v), len(sst_index))
 
     def unistr(s: str) -> bytes:
         wide = any(ord(ch) > 0xFF for ch in s)
@@ -370,7 +421,7 @@ def _biff_workbook(sheets: list[tuple[str, list[list]]]) -> bytes:
 
     sheet_streams = []
     for _, rows in sheets:
-        body = [_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))]
+        body = [_rec(0x0809, struct.pack("<HHHHII", vers, 0x0010, 0x0DBB, 0x07CC, 0, 0))]
         nrows = len(rows)
         ncols = max((len(r) for r in rows), default=0)
         body.append(_rec(0x0200, struct.pack("<IIHHH", 0, nrows, 0, ncols, 0)))
@@ -378,21 +429,30 @@ def _biff_workbook(sheets: list[tuple[str, list[list]]]) -> bytes:
             for ci, v in enumerate(row):
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     body.append(_rec(0x0203, struct.pack("<HHHd", ri, ci, 0, float(v))))
-                else:
+                elif biff >= 8:
                     body.append(
                         _rec(0x00FD, struct.pack("<HHHI", ri, ci, 0, sst_index[str(v)]))
+                    )
+                else:  # BIFF5 LABEL: inline codepage byte string
+                    enc = str(v).encode("cp1252", "replace")
+                    body.append(
+                        _rec(0x0204, struct.pack("<HHHH", ri, ci, 0, len(enc)) + enc)
                     )
         body.append(_rec(0x000A, b""))
         sheet_streams.append(b"".join(body))
 
     def globals_stream(offsets: list[int]) -> bytes:
-        out = [_rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0))]
+        out = [_rec(0x0809, struct.pack("<HHHHII", vers, 0x0005, 0x0DBB, 0x07CC, 0, 0))]
+        if biff < 8:
+            out.append(_rec(0x0042, struct.pack("<H", 1252)))  # CODEPAGE
         for (name, _), off in zip(sheets, offsets):
-            enc = name.encode("latin-1")
-            out.append(
-                _rec(0x0085, struct.pack("<IHBB", off, 0, len(enc), 0x00) + enc)
-            )
-        out.append(_rec(0x00FC, sst_payload))
+            enc = name.encode("cp1252" if biff < 8 else "latin-1", "replace")
+            if biff >= 8:
+                out.append(_rec(0x0085, struct.pack("<IHBB", off, 0, len(enc), 0x00) + enc))
+            else:  # byte-string name, no unicode grbit
+                out.append(_rec(0x0085, struct.pack("<IHB", off, 0, len(enc)) + enc))
+        if biff >= 8:
+            out.append(_rec(0x00FC, sst_payload))
         out.append(_rec(0x000A, b""))
         return b"".join(out)
 
@@ -408,12 +468,18 @@ def _biff_workbook(sheets: list[tuple[str, list[list]]]) -> bytes:
     return globals_stream(offsets) + b"".join(sheet_streams)
 
 
-def xls_bytes(rows: list[list], sheet_name: str = "Sheet1", extra_sheets: list | None = None) -> bytes:
+def xls_bytes(
+    rows: list[list],
+    sheet_name: str = "Sheet1",
+    extra_sheets: list | None = None,
+    biff: int = 8,
+) -> bytes:
     """Deterministic minimal .xls: OLE2 container (one FAT sector, no
-    ministream — the Workbook stream is padded past the 4096-byte mini
-    cutoff) holding the BIFF8 workbook. ``extra_sheets`` = list of
-    (name, rows) appended after the first sheet."""
-    stream = _biff_workbook([(sheet_name, rows)] + list(extra_sheets or []))
+    ministream — the workbook stream is padded past the 4096-byte mini
+    cutoff) holding the BIFF workbook. ``extra_sheets`` = list of
+    (name, rows) appended after the first sheet; ``biff=5`` writes an
+    Excel 5.0/95 file (inline LABEL strings, 'Book' stream name)."""
+    stream = _biff_workbook([(sheet_name, rows)] + list(extra_sheets or []), biff)
     size = len(stream)
     padded = max(4096, (size + 511) // 512 * 512)
     stream = stream + b"\x00" * (padded - size)
@@ -440,7 +506,7 @@ def xls_bytes(rows: list[list], sheet_name: str = "Sheet1", extra_sheets: list |
     # Trailing zero bytes parse as harmless empty records after the EOF.
     directory = (
         dirent("Root Entry", 5, _ENDOFCHAIN, 0, child=1)
-        + dirent("Workbook", 2, 2, padded)
+        + dirent("Workbook" if biff >= 8 else "Book", 2, 2, padded)
         + b"\x00" * 256
     )
 

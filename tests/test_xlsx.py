@@ -361,3 +361,46 @@ def test_xlsx_date_column_types_as_datetime(spark):
     got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
     assert got_x == got_c and len(got_x) == 2
     assert "2023-03-15" in got_x[1]
+
+
+def test_xls_biff5_codec_roundtrip():
+    """BIFF5/7 (Excel 5.0/95 'Book' streams, read by xlrd in the
+    reference): no SST, inline codepage LABEL strings, byte-string
+    sheet names — same extracted rows as the BIFF8 twin."""
+    from hydra_spark.analysis.xls import (
+        xls_biff_version,
+        xls_bytes,
+        xls_rows,
+        xls_sheet_names,
+    )
+
+    rows = [["code", "libellé", "ratio"], [101, "café", 1.5], [202, "naïve", 7]]
+    b5 = xls_bytes(rows, biff=5)
+    assert xls_biff_version(b5) == 5
+    assert xls_rows(b5) == xls_rows(xls_bytes(rows))  # == the BIFF8 view
+    assert xls_rows(b5)[1] == ["101", "café", "1.5"]  # cp1252 accents survive
+
+    # sheet selection through byte-string BOUNDSHEET names
+    multi = xls_bytes(rows, sheet_name="Données", extra_sheets=[("Autre", [["x"], [9]])], biff=5)
+    assert xls_sheet_names(multi) == ["Données", "Autre"]
+    assert xls_rows(multi, sheet_name="Autre") == [["x"], ["9"]]
+
+
+def test_xls_biff5_ingest_matches_csv_path(spark):
+    """A BIFF5 resource flows through the same typed chain as CSV —
+    the 'Book' stream name and inline strings are transparent to the
+    shared inspect/cast pipeline."""
+    from hydra_spark.analysis.xls import xls_bytes
+
+    rows = [line.split(",") for line in CSV.split("\n")]
+    xdf = spark.createDataFrame(
+        [("http://x/old.xls", "r1", "d1", bytearray(xls_bytes(rows, biff=5)), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    cdf = spark.createDataFrame(
+        [("http://x/old.xls", "r1", "d1", bytearray(CSV.encode()), "tbl")],
+        "url string, resource_id string, dataset_id string, html binary, parsing_table string",
+    )
+    got_x = {r["__id"]: r["row_json"] for r in analyse_excel_batch(xdf).collect()}
+    got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
+    assert got_x == got_c and len(got_x) == 3
