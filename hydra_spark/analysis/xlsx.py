@@ -136,13 +136,13 @@ def _serial_str(v: str, kind: str, date1904: bool) -> str:
         value = float(v)
     except ValueError:
         return v
-    day, fraction = divmod(value, 1)
-    # millisecond precision, like openpyxl's from_excel rounding
-    usec = round(fraction * _SECS_PER_DAY * 1000) * 1000
-    delta = _dt.timedelta(days=day, microseconds=usec)
-    if kind == "timedelta":
-        return str(delta)
     try:
+        day, fraction = divmod(value, 1)
+        # millisecond precision, like openpyxl's from_excel rounding
+        usec = round(fraction * _SECS_PER_DAY * 1000) * 1000
+        delta = _dt.timedelta(days=day, microseconds=usec)
+        if kind == "timedelta":
+            return str(delta)
         if not date1904:
             if 0 < value < 1:
                 return str((_dt.datetime(1900, 1, 1) + delta).time())
@@ -152,8 +152,8 @@ def _serial_str(v: str, kind: str, date1904: bool) -> str:
         if 0 < value < 1:
             return str((_dt.datetime(1904, 1, 1) + delta).time())
         return str(_dt.datetime(1904, 1, 1) + delta)
-    except OverflowError:  # serial out of datetime range: raw number view
-        return _num_str(v)
+    except (OverflowError, ValueError):  # out of datetime range / NaN / inf:
+        return _num_str(v)  # raw number view, untrusted bytes must not raise
 
 
 def _workbook_sheets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:

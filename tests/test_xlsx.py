@@ -404,3 +404,61 @@ def test_xls_biff5_ingest_matches_csv_path(spark):
     got_x = {r["__id"]: r["row_json"] for r in analyse_excel_batch(xdf).collect()}
     got_c = {r["__id"]: r["row_json"] for r in analyse_csv_batch(cdf).collect()}
     assert got_x == got_c and len(got_x) == 3
+
+
+def test_excel_codecs_survive_adversarial_bytes():
+    """Untrusted-bytes discipline for the newest codec surfaces: date
+    styles and BIFF5. Malformed styles degrade to the raw number view,
+    degenerate serials (NaN/inf/out-of-range) never raise, truncated
+    BIFF5 containers raise ValueError (the ingest path's poison-payload
+    NULL route), and bit-flipped workbooks either parse or raise a
+    clean, catchable error — never hang."""
+    import io
+    import random
+    import struct
+    import zipfile
+
+    from hydra_spark.analysis.xls import xls_bytes, xls_rows
+    from hydra_spark.analysis.xlsx import _serial_str
+
+    # degenerate serials: raw view, no exception
+    assert _serial_str("nan", "date", False) == "nan"
+    assert _serial_str("inf", "date", False) == "inf"
+    assert _serial_str("1e300", "date", False) == "1e+300"
+    assert _serial_str("3000000", "date", False) == "3000000"  # > year 9999
+
+    # garbage styles.xml + out-of-range s index: cell stays numeric
+    data = xlsx_bytes([["a", 5]])
+    z = zipfile.ZipFile(io.BytesIO(data))
+    parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = parts["xl/worksheets/sheet1.xml"].replace(
+        b'<c r="B1"><v>5</v></c>', b'<c r="B1" s="99"><v>5</v></c>'
+    )
+    parts["xl/styles.xml"] = (
+        b'<?xml version="1.0"?><styleSheet xmlns='
+        b'"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        b'<cellXfs><xf numFmtId="garbage"/></cellXfs></styleSheet>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, c in parts.items():
+            out.writestr(n, c)
+    assert xlsx_rows(buf.getvalue()) == [["a", "5"]]
+
+    # truncated / bit-flipped BIFF5: parse or clean-raise, never hang
+    b5 = xls_bytes([["a", "b"], [1, 2]], biff=5)
+    for cut in (100, 600, 1200):
+        try:
+            xls_rows(b5[:cut])
+        except ValueError:
+            pass
+    rng = random.Random(7)
+    for _ in range(150):
+        m = bytearray(b5)
+        for _ in range(rng.randrange(1, 8)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            xls_rows(bytes(m))
+        except (ValueError, struct.error, IndexError, KeyError,
+                UnicodeDecodeError, MemoryError):
+            pass
