@@ -744,7 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return probe_image_meta(assets)
 
     def q_media_meta(spark, sf):  # audio/video container probes over REAL bytes
-        # Spark side ENCODES a real FLAC / MP3 / OGG-Vorbis / MP4 payload
+        # Spark side ENCODES a real FLAC / MP3 / OGG / MP4 / WebM / AVI payload
         # per asset (parameters a pure function of the id) and probes it
         # back via probe_media_meta — the oracle replays the arithmetic,
         # so a probe bug (not just a builder bug) breaks the match
@@ -796,23 +796,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 tracks = el(b"\x16\x54\xae\x6b", vtrk + atrk)
                 return header + el(b"\x18\x53\x80\x67", info + tracks)
 
+            def avi(us_pf, total, w, h):
+                avih = struct.pack("<14I", us_pf, 0, 0, 0, total, 0, 1, 0,
+                                   w, h, 0, 0, 0, 0)
+                inner = b"avih" + struct.pack("<I", len(avih)) + avih
+                hdrl = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"hdrl" + inner
+                body = b"AVI " + hdrl + b"LIST" + struct.pack("<I", 4) + b"movi"
+                return b"RIFF" + struct.pack("<I", len(body)) + body
+
             for pdf in batches:
                 payloads = []
                 for aid in pdf["asset_id"]:
-                    i, k = int(aid), int(aid) // 5
-                    if i % 5 == 0:
+                    i, k = int(aid), int(aid) // 6
+                    if i % 6 == 0:
                         payloads.append(flac(44100, 1 + k % 2, 16, (k % 10 + 1) * 44100))
-                    elif i % 5 == 1:
+                    elif i % 6 == 1:
                         payloads.append(mp3(3 + k % 5))
-                    elif i % 5 == 2:
+                    elif i % 6 == 2:
                         payloads.append(ogg_vorbis(32000 + (k % 3) * 8000, 1 + k % 2,
                                                    (64 + (k % 4) * 32) * 1000))
-                    elif i % 5 == 3:
+                    elif i % 6 == 3:
                         payloads.append(mp4(600 * (k % 20 + 1),
                                             320 + (k % 8) * 160, 240 + (k % 8) * 120))
-                    else:
+                    elif i % 6 == 4:
                         payloads.append(webm((k % 15 + 1) * 500, 426 + (k % 6) * 160,
                                              240 + (k % 6) * 90, 48000, 1 + k % 2))
+                    else:
+                        payloads.append(avi(33333, (k % 30 + 1) * 25,
+                                            320 + (k % 10) * 64, 240 + (k % 10) * 48))
                 yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
         assets = spark.range(250).selectExpr("id as asset_id").mapInPandas(
@@ -1382,25 +1393,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": """
             SELECT i AS asset_id,
-                   CASE i % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+                   CASE i % 6 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
                               WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'mp4'
-                              ELSE 'webm' END AS format,
-                   CAST(CASE WHEN i % 5 = 3 THEN 320 + ((i // 5) % 8) * 160
-                             WHEN i % 5 = 4 THEN 426 + ((i // 5) % 6) * 160 END AS INT) AS width,
-                   CAST(CASE WHEN i % 5 = 3 THEN 240 + ((i // 5) % 8) * 120
-                             WHEN i % 5 = 4 THEN 240 + ((i // 5) % 6) * 90 END AS INT) AS height,
-                   CAST(CASE WHEN i % 5 = 1 THEN 2
-                             WHEN i % 5 IN (0, 2, 4) THEN 1 + (i // 5) % 2 END AS INT) AS n_channels,
-                   CAST(CASE WHEN i % 5 = 0 THEN 16 END AS INT) AS bit_depth,
-                   CAST(CASE WHEN i % 5 IN (0, 1) THEN 44100
-                             WHEN i % 5 = 2 THEN 32000 + ((i // 5) % 3) * 8000
-                             WHEN i % 5 = 4 THEN 48000 END AS INT) AS sample_rate,
-                   CAST(CASE WHEN i % 5 = 0 THEN ((i // 5) % 10 + 1) * 1000
-                             WHEN i % 5 = 1 THEN (417 * (3 + (i // 5) % 5) * 8 * 1000) // 128000
-                             WHEN i % 5 = 3 THEN ((i // 5) % 20 + 1) * 1000
-                             WHEN i % 5 = 4 THEN ((i // 5) % 15 + 1) * 500 END AS BIGINT) AS duration_ms,
-                   CAST(CASE WHEN i % 5 = 1 THEN 128
-                             WHEN i % 5 = 2 THEN 64 + ((i // 5) % 4) * 32 END AS INT) AS bitrate_kbps
+                              WHEN 4 THEN 'webm' ELSE 'avi' END AS format,
+                   CAST(CASE WHEN i % 6 = 3 THEN 320 + ((i // 6) % 8) * 160
+                             WHEN i % 6 = 4 THEN 426 + ((i // 6) % 6) * 160
+                             WHEN i % 6 = 5 THEN 320 + ((i // 6) % 10) * 64 END AS INT) AS width,
+                   CAST(CASE WHEN i % 6 = 3 THEN 240 + ((i // 6) % 8) * 120
+                             WHEN i % 6 = 4 THEN 240 + ((i // 6) % 6) * 90
+                             WHEN i % 6 = 5 THEN 240 + ((i // 6) % 10) * 48 END AS INT) AS height,
+                   CAST(CASE WHEN i % 6 = 1 THEN 2
+                             WHEN i % 6 IN (0, 2, 4) THEN 1 + (i // 6) % 2 END AS INT) AS n_channels,
+                   CAST(CASE WHEN i % 6 = 0 THEN 16 END AS INT) AS bit_depth,
+                   CAST(CASE WHEN i % 6 IN (0, 1) THEN 44100
+                             WHEN i % 6 = 2 THEN 32000 + ((i // 6) % 3) * 8000
+                             WHEN i % 6 = 4 THEN 48000 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN i % 6 = 0 THEN ((i // 6) % 10 + 1) * 1000
+                             WHEN i % 6 = 1 THEN (417 * (3 + (i // 6) % 5) * 8 * 1000) // 128000
+                             WHEN i % 6 = 3 THEN ((i // 6) % 20 + 1) * 1000
+                             WHEN i % 6 = 4 THEN ((i // 6) % 15 + 1) * 500
+                             WHEN i % 6 = 5 THEN (33333 * ((i // 6) % 30 + 1) * 25) // 1000
+                        END AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN i % 6 = 1 THEN 128
+                             WHEN i % 6 = 2 THEN 64 + ((i // 6) % 4) * 32 END AS INT) AS bitrate_kbps
             FROM range(250) t(i)
         """,
         "csv_inspect": """

@@ -953,18 +953,74 @@ def parse_webm_header(payload: bytes, scan_limit: int = 1 << 20) -> dict | None:
     return out
 
 
+def parse_avi_header(payload: bytes, scan_limit: int = 1 << 20) -> dict | None:
+    """AVI (RIFF) probe: ``RIFF..AVI `` magic, then the ``hdrl`` LIST's
+    ``avih`` MainAVIHeader (µs/frame, total frames, width, height) and
+    per-stream ``strl``→``strh``/``strf`` for the video codec fourcc and
+    audio rate/channels (OpenDML/AVI 1.0 layout; chunks are word-aligned
+    so odd sizes carry a pad byte). Stops at `scan_limit` — the movi
+    payload is never chased."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def chunks(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > hi:
+                return
+            yield fourcc, pos + 8, pos + 8 + size
+            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+
+    out: dict = {}
+    hi = min(len(b), scan_limit)
+    for fourcc, lo, end in chunks(12, hi):
+        if fourcc != b"LIST" or b[lo : lo + 4] != b"hdrl":
+            continue
+        for fc, ilo, iend in chunks(lo + 4, end):
+            if fc == b"avih" and iend - ilo >= 40:
+                us_pf, _, _, _, total = struct.unpack_from("<5I", b, ilo)
+                w, h = struct.unpack_from("<II", b, ilo + 32)
+                out["format"] = "avi"
+                out["n_frames"] = total
+                if w and h:
+                    out["width"], out["height"] = w, h
+                if us_pf:
+                    out["duration_ms"] = us_pf * total // 1000
+            elif fc == b"LIST" and b[ilo : ilo + 4] == b"strl":
+                stype = None
+                for sc, slo, send in chunks(ilo + 4, iend):
+                    if sc == b"strh" and send - slo >= 8:
+                        stype = b[slo : slo + 4]
+                        if stype == b"vids" and "video_codec" not in out:
+                            codec = b[slo + 4 : slo + 8].decode("latin-1").strip("\x00 ")
+                            if codec:
+                                out["video_codec"] = codec
+                    elif sc == b"strf" and stype == b"auds" and send - slo >= 8:
+                        _, ch = struct.unpack_from("<HH", b, slo)
+                        rate = struct.unpack_from("<I", b, slo + 4)[0]
+                        out.setdefault("n_channels", ch)
+                        out.setdefault("sample_rate", rate)
+        break
+    return out if "format" in out else None
+
+
 def parse_media_header(payload: bytes) -> dict | None:
     """One-stop container probe: images (PNG/GIF/BMP/JPEG), then WAV,
-    MP3, FLAC, OGG (Vorbis/Opus/FLAC/Theora) and ISO BMFF (MP4/M4A).
-    Returns the format-specific dict of the first probe that matches,
-    or None — the dispatch order puts cheap exact magics first and the
-    MP3 sync scan last among audio since it is the only heuristic."""
+    AVI, FLAC, OGG (Vorbis/Opus/FLAC/Theora), ISO BMFF (MP4/M4A) and
+    Matroska/WebM. Returns the format-specific dict of the first probe
+    that matches, or None — the dispatch order puts cheap exact magics
+    first and the MP3 sync scan last since it is the only heuristic."""
     b = bytes(payload)
     img = parse_image_header(b)
     if img is not None:
         return img
-    for probe in (parse_wav_header, parse_flac_header, parse_ogg_header,
-                  parse_mp4_header, parse_webm_header):
+    for probe in (parse_wav_header, parse_avi_header, parse_flac_header,
+                  parse_ogg_header, parse_mp4_header, parse_webm_header):
         hdr = probe(b)
         if hdr is not None:
             return hdr

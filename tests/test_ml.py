@@ -1288,3 +1288,46 @@ def test_bmp_8bit_palette_decode():
     got = decode_bmp(bmp)
     want = pal[:, [2, 1, 0]][idx]
     assert np.array_equal(got, want)
+
+
+def test_parse_avi_header():
+    """AVI RIFF probe: avih dimensions/frame timing, per-stream video
+    codec fourcc + audio rate/channels; WAVE (also RIFF) must not match;
+    truncation degrades to None, never raises."""
+    import struct
+
+    from hydra_spark.ml.multimodal import parse_avi_header, parse_media_header
+
+    def avi(us_pf, total, w, h, codec=b"mjpg", audio=None):
+        avih = struct.pack("<14I", us_pf, 0, 0, 0, total, 0,
+                           2 if audio else 1, 0, w, h, 0, 0, 0, 0)
+        strh_v = b"vids" + codec + struct.pack("<10I", *([0] * 10))
+        strl_v = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh_v)) + b"strl"
+                  + b"strh" + struct.pack("<I", len(strh_v)) + strh_v)
+        strl_a = b""
+        if audio:
+            rate, ch = audio
+            strh_a = b"auds" + b"\x00" * 4 + struct.pack("<10I", *([0] * 10))
+            strf_a = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            inner = (b"strh" + struct.pack("<I", len(strh_a)) + strh_a
+                     + b"strf" + struct.pack("<I", len(strf_a)) + strf_a)
+            strl_a = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"strl" + inner
+        inner = b"avih" + struct.pack("<I", len(avih)) + avih + strl_v + strl_a
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"hdrl" + inner
+        body = b"AVI " + hdrl + b"LIST" + struct.pack("<I", 4) + b"movi"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    p = avi(33333, 250, 640, 480, audio=(44100, 2))
+    hdr = parse_avi_header(p)
+    assert hdr == {
+        "format": "avi", "n_frames": 250, "width": 640, "height": 480,
+        "duration_ms": 33333 * 250 // 1000, "video_codec": "mjpg",
+        "n_channels": 2, "sample_rate": 44100,
+    }
+    assert parse_media_header(p)["format"] == "avi"
+    # RIFF but not AVI (WAVE container) must not match this probe
+    assert parse_avi_header(b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 36) is None
+    # truncations: None, never an exception
+    for cut in (4, 11, 20, 40, len(p) - 5):
+        parse_avi_header(p[:cut])
+    assert parse_avi_header(p[:11]) is None
