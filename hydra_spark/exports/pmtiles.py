@@ -13,10 +13,13 @@ sequential write over the tiny per-tile blobs, streamed in Hilbert
 order). Scope: Point/LineString/Polygon (+Multi*) geometries with
 per-tile clipping, per-zoom simplification and spec ring orientation;
 `-zg`-style max-zoom guess; gzip tiles; single root directory (no leaf
-dirs — fine for the per-resource tile counts hydra produces). Feature dropping exists as a
-logged per-tile cap (encode_tiles max_features_per_tile); NOT attempted
-from tippecanoe: coalescing heuristics and exact topology for holes
-crossing tile edges.
+dirs — fine for the per-resource tile counts hydra produces). Per-tile
+density control is a logged cap (encode_tiles max_features_per_tile)
+with tippecanoe-style policies: Morton-stride point drops,
+drop-smallest geometries, and cluster-densest point coalescing
+(point_policy='cluster' — representatives carry point_count). NOT
+attempted from tippecanoe: exact topology for holes crossing tile
+edges.
 
 Format references (public specs):
 - PMTiles v3 header/directory layout: github.com/protomaps/PMTiles
@@ -344,21 +347,41 @@ def encode_mvt(features: list[tuple[int, list, str]], layer_name: str = "feature
     return _field(3, 2, layer)
 
 
-def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) -> DataFrame:
+def _morton12(fx, fy):
+    """Interleave two 12-bit coords into a Z-curve rank (numpy arrays)."""
+    import numpy as np
+
+    m = np.zeros(len(fx), dtype=np.int64)
+    for b in range(12):
+        m |= ((fx >> b) & 1) << (2 * b) | ((fy >> b) & 1) << (2 * b + 1)
+    return m
+
+
+def encode_tiles(
+    assigned: DataFrame,
+    max_features_per_tile: int | None = None,
+    point_policy: str = "drop",
+) -> DataFrame:
     """(z, x, y) → MVT bytes: ONE applyInPandas over the tile groups —
     each tile encodes independently, so this scales with tile count.
     Accepts the point schema (fx, fy, props) or the geometry schema
     (gtype, geom, props) from assign_tiles_geojson.
 
-    ``max_features_per_tile`` mirrors tippecanoe's documented drop
-    heuristics deterministically, and LOGS the drop (no silent caps) —
+    ``max_features_per_tile`` mirrors tippecanoe's documented density
+    heuristics deterministically, and LOGS the action (no silent caps) —
     low zooms of a dense corpus otherwise produce multi-MB tiles no
     client renders:
 
-    - points: a uniform stride over the tile's Morton (Z-curve) order —
-      every k-th feature of a space-filling traversal, so the kept
-      subset preserves the spatial DISTRIBUTION (tippecanoe's
-      point-drop rate) instead of keeping one corner of the tile;
+    - points, ``point_policy='drop'``: a uniform stride over the tile's
+      Morton (Z-curve) order — every k-th feature of a space-filling
+      traversal, so the kept subset preserves the spatial DISTRIBUTION
+      (tippecanoe's point-drop rate) instead of keeping one tile corner;
+    - points, ``point_policy='cluster'`` (tippecanoe
+      ``--cluster-densest-as-needed``): merge instead of drop — the
+      snap grid coarsens (cell doubling) until the cluster count fits,
+      each cell keeps its first feature in Morton order as the
+      representative and gains a ``point_count`` property, so no
+      feature silently disappears (sum of point_count = input count);
     - lines/polygons: drop-smallest-as-needed (tippecanoe
       ``--drop-smallest-as-needed``): keep the N features with the most
       vertices, ties broken by the deterministic sort key."""
@@ -366,6 +389,8 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
 
     import pandas as pd
 
+    if point_policy not in ("drop", "cluster"):
+        raise ValueError(f"point_policy must be 'drop' or 'cluster', got {point_policy!r}")
     geom_mode = "geom" in assigned.columns
     logger = logging.getLogger(__name__)
 
@@ -373,9 +398,11 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
         z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
         if max_features_per_tile is not None and len(pdf) > max_features_per_tile:
             logger.warning(
-                "tile z=%d x=%d y=%d: dropping %d of %d features "
+                "tile z=%d x=%d y=%d: %s %d of %d features "
                 "(max_features_per_tile=%d — coverage cap)",
-                z, x, y, len(pdf) - max_features_per_tile, len(pdf),
+                z, x, y,
+                "clustering" if (point_policy == "cluster" and not geom_mode) else "dropping",
+                len(pdf) - max_features_per_tile, len(pdf),
                 max_features_per_tile,
             )
             if geom_mode:
@@ -390,6 +417,37 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
                     .head(max_features_per_tile)
                     .drop(columns="_nv")
                 )
+            elif point_policy == "cluster":
+                # cluster-densest-as-needed: coarsen the snap grid until
+                # the cluster count fits, then merge cell-mates into the
+                # cell's first-in-Morton-order representative carrying a
+                # point_count property — density becomes data, not loss
+                import numpy as np
+
+                fx = pdf["fx"].to_numpy(dtype=np.int64) & 0xFFF
+                fy = pdf["fy"].to_numpy(dtype=np.int64) & 0xFFF
+                for shift in range(1, 13):
+                    cell = ((fx >> shift) << 13) | (fy >> shift)
+                    if len(np.unique(cell)) <= max_features_per_tile:
+                        break
+                m = _morton12(fx, fy)
+                df2 = (
+                    pdf.assign(_cell=cell, _m=m)
+                    .sort_values(["_cell", "_m", "props"], kind="mergesort")
+                )
+                n_in_cell = df2.groupby("_cell")["_m"].transform("size")
+                reps = df2.assign(_n=n_in_cell).drop_duplicates("_cell", keep="first")
+
+                def _with_count(props: str, n: int) -> str:
+                    if n <= 1:
+                        return props
+                    d = json.loads(props) if props else {}
+                    d["point_count"] = int(n)
+                    return json.dumps(d)
+
+                pdf = reps.assign(
+                    props=[_with_count(p, n) for p, n in zip(reps["props"], reps["_n"])]
+                ).drop(columns=["_cell", "_m", "_n"])
             else:
                 # Morton-order uniform stride: interleave the 12-bit tile
                 # coords, sort along the Z-curve, take evenly spaced ranks
@@ -397,9 +455,7 @@ def encode_tiles(assigned: DataFrame, max_features_per_tile: int | None = None) 
 
                 fx = pdf["fx"].to_numpy(dtype=np.int64) & 0xFFF
                 fy = pdf["fy"].to_numpy(dtype=np.int64) & 0xFFF
-                m = np.zeros(len(pdf), dtype=np.int64)
-                for b in range(12):
-                    m |= ((fx >> b) & 1) << (2 * b) | ((fy >> b) & 1) << (2 * b + 1)
+                m = _morton12(fx, fy)
                 order = np.lexsort((pdf["props"].to_numpy(), m))
                 keep = order[np.unique(
                     np.linspace(0, len(pdf) - 1, max_features_per_tile).round().astype(int)
@@ -471,7 +527,7 @@ def _encode_directory(entries: list[tuple[int, int, int, int]]) -> bytes:
 
 def export_pmtiles(
     df: DataFrame, geo: dict, path: str, max_zoom: int | None = None, min_zoom: int = 0,
-    max_features_per_tile: int | None = None,
+    max_features_per_tile: int | None = None, point_policy: str = "drop",
 ) -> dict:
     """GeoJSON-style Point frame → PMTiles v3 archive. Tiling and MVT
     encoding are distributed; the pack is a driver-side sequential
@@ -485,7 +541,8 @@ def export_pmtiles(
         assigned = assign_tiles_geojson(df, geo["col"], zooms)
     else:
         assigned = assign_tiles(df, geo, zooms)
-    tiles = encode_tiles(assigned, max_features_per_tile=max_features_per_tile)
+    tiles = encode_tiles(assigned, max_features_per_tile=max_features_per_tile,
+                         point_policy=point_policy)
 
     entries = []
     data = bytearray()

@@ -272,3 +272,47 @@ def test_encode_tiles_feature_cap_logged(spark, caplog):
     assert len(feats) == 4
     [t2] = encode_tiles(df).collect()
     assert len(decode_mvt_features(bytes(t2.tile))) == 10
+
+
+def test_encode_tiles_cluster_policy(spark):
+    """point_policy='cluster' (tippecanoe --cluster-densest-as-needed):
+    dense tiles merge cell-mates into representatives with point_count
+    instead of dropping — no feature silently disappears (counts sum to
+    the input), output is deterministic, and under-cap tiles are
+    untouched."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from hydra_spark.exports.pmtiles import decode_mvt_features, encode_tiles
+
+    # two dense blobs + isolated points, one overfull z0 tile
+    rows = (
+        [Row(z=0, x=0, y=0, fx=100 + (i % 4), fy=200 + (i // 4), props='{"i": %d}' % i)
+         for i in range(12)]                                     # blob A (12 pts)
+        + [Row(z=0, x=0, y=0, fx=3000 + (i % 3), fy=3100, props='{"i": %d}' % (100 + i))
+           for i in range(6)]                                    # blob B (6 pts)
+        + [Row(z=0, x=0, y=0, fx=40 * i, fy=4000, props='{"i": %d}' % (200 + i))
+           for i in range(4)]                                    # isolated
+    )
+    df = spark.createDataFrame(rows)
+    [t] = encode_tiles(df, max_features_per_tile=8, point_policy="cluster").collect()
+    feats = decode_mvt_features(bytes(t.tile))
+    assert len(feats) <= 8
+    total = sum(int(f["props"].get("point_count", 1)) for f in feats)
+    assert total == 22  # merged, not dropped
+    assert any(int(f["props"].get("point_count", 1)) >= 6 for f in feats)  # a blob collapsed
+
+    # determinism: same input → same tile bytes
+    [t2] = encode_tiles(df, max_features_per_tile=8, point_policy="cluster").collect()
+    assert bytes(t.tile) == bytes(t2.tile)
+
+    # under the cap: cluster policy leaves the tile untouched
+    small = spark.createDataFrame(rows[:5])
+    [u] = encode_tiles(small, max_features_per_tile=8, point_policy="cluster").collect()
+    assert len(decode_mvt_features(bytes(u.tile))) == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_tiles(df, max_features_per_tile=8, point_policy="nope")
