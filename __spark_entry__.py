@@ -1014,6 +1014,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.pack_sequences(_t(spark, sf, "documents"), window=64)
 
+    def q_duplicate_spans(spark, sf):  # webtext: Lee et al. ExactSubstr span excision
+        from hydra_spark.ml import webtext
+
+        return webtext.duplicate_spans(_t(spark, sf, "documents"), n=5, min_count=2)
+
+    def q_quality_classifier(spark, sf):  # webtext: GPT-3 appendix-A quality gate
+        from hydra_spark.ml import webtext
+
+        docs = _t(spark, sf, "documents")
+        # vocab_size below the corpus vocab so the OOV-constant path runs
+        return webtext.nb_quality_classifier(docs, docs.where("lang = 'en'"), vocab_size=64)
+
+    def q_perplexity_buckets(spark, sf):  # webtext: CCNet head/middle/tail terciles
+        from hydra_spark.ml import webtext
+
+        docs = _t(spark, sf, "documents")
+        scored = webtext.unigram_lm_score(docs, vocab_size=20).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return webtext.perplexity_buckets(scored)
+
+    def q_leakage_splits(spark, sf):  # webtext: cluster-consistent train/val/test
+        from hydra_spark.ml import webtext
+
+        return webtext.leakage_safe_splits(
+            _t(spark, sf, "documents"), weights=(0.875, 0.0625, 0.0625)
+        )
+
     def q_claim_cap(spark, sf):  # §2.4: per-domain in-round politeness cap
         # the claimed SET under the cap depends on the xxhash64 seeded
         # order (not md5-replayable), but the per-domain claim COUNT is
@@ -1090,6 +1118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
         "pack_sequences": q_pack_sequences,
+        "duplicate_spans": q_duplicate_spans,
+        "quality_classifier": q_quality_classifier,
+        "perplexity_buckets": q_perplexity_buckets,
+        "leakage_splits": q_leakage_splits,
         "claim_cap": q_claim_cap,
     }
 
@@ -1813,5 +1845,113 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT domain, CAST(least(count(*), 180) AS BIGINT) AS n_claimed
             FROM flagged WHERE idx % 499 <> 0 GROUP BY 1
+        """,
+        # gaps-and-islands twin of webtext.duplicate_spans (n=5,
+        # min_count=2): a 5-gram at word pos p covers [p, p+4]; grams
+        # occurring >=2 times ANYWHERE in the corpus are hits (Spark
+        # keys the count on xxhash64(gram); grouping the strings is
+        # count-identical absent 64-bit collisions)
+        "duplicate_spans": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) <= 4 THEN [array_to_string(words, ' ')]
+                          ELSE [array_to_string(words[i:i+4], ' ')
+                                for i in range(1, len(words)-3)] END AS grams
+              FROM w),
+            pg AS (SELECT doc_id, unnest(grams) AS gram,
+                          unnest(range(len(grams))) AS pos
+                   FROM s),
+            fr AS (SELECT gram FROM (SELECT gram, count(*) AS occ FROM pg GROUP BY 1)
+                   WHERE occ >= 2),
+            hits AS (SELECT pg.doc_id, pg.pos FROM pg JOIN fr USING (gram)),
+            m AS (SELECT doc_id, pos,
+                         CASE WHEN max(pos + 4) OVER prev IS NULL
+                                OR pos > max(pos + 4) OVER prev + 1
+                              THEN 1 ELSE 0 END AS new_span
+                  FROM hits
+                  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            i AS (SELECT doc_id, pos,
+                         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                  FROM m)
+            SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+                   CAST(min(pos) AS BIGINT) AS start_token,
+                   CAST(max(pos) + 4 AS BIGINT) AS end_token,
+                   count(*) AS n_grams
+            FROM i GROUP BY 1, 2
+        """,
+        # naive-Bayes twin of webtext.nb_quality_classifier: positives =
+        # lang='en' docs, negatives = whole corpus, vocab = top-64 by
+        # combined count (word tie-break), alpha=0.5 over FULL vocab V
+        "quality_classifier": r"""
+            WITH pw AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+                        FROM documents WHERE lang = 'en'),
+            nw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+                   FROM documents),
+            pc AS (SELECT word, count(*) AS pc FROM pw GROUP BY 1),
+            nc AS (SELECT word, count(*) AS nc FROM nw GROUP BY 1),
+            merged AS (SELECT coalesce(pc.word, nc.word) AS word,
+                              coalesce(pc.pc, 0) AS pc, coalesce(nc.nc, 0) AS nc
+                       FROM pc FULL JOIN nc ON pc.word = nc.word),
+            vocab AS (SELECT * FROM merged ORDER BY pc + nc DESC, word LIMIT 64),
+            tot AS (SELECT CAST(sum(pc) AS DOUBLE) AS pos_tot,
+                           CAST(sum(nc) AS DOUBLE) AS neg_tot,
+                           CAST(count(*) AS DOUBLE) AS v
+                    FROM merged),
+            sc AS (SELECT nw.doc_id,
+                          ln((coalesce(CAST(v.pc AS DOUBLE), 0) + 0.5) / (t.pos_tot + 0.5 * t.v))
+                        - ln((coalesce(CAST(v.nc AS DOUBLE), 0) + 0.5) / (t.neg_tot + 0.5 * t.v)) AS llr
+                   FROM nw LEFT JOIN vocab v USING (word) CROSS JOIN tot t)
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(round(avg(llr), 6) AS DOUBLE) AS nb_llr,
+                   CAST(round(avg(llr), 6) AS DOUBLE) > 0 AS is_quality
+            FROM sc GROUP BY 1
+        """,
+        # unigram_lm (vocab 20) joined back to lang, then CCNet
+        # head/middle/tail terciles: ntile(3) over (lm_score, doc_id)
+        # within each language
+        "perplexity_buckets": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w),
+            freq AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+            vocab AS (SELECT word, cnt FROM freq ORDER BY cnt DESC, word LIMIT 20),
+            sc AS (SELECT w.doc_id,
+                          log10(coalesce(CAST(v.cnt AS DOUBLE), 0.5) / t.total) AS lp
+                   FROM w LEFT JOIN vocab v USING (word) CROSS JOIN tot t),
+            lm AS (SELECT doc_id,
+                          CAST(round(-avg(lp), 6) AS DOUBLE) AS lm_score
+                   FROM sc GROUP BY 1),
+            j AS (SELECT lm.doc_id, d.lang, lm.lm_score
+                  FROM lm JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, lm_score,
+                   CASE ntile(3) OVER (PARTITION BY lang ORDER BY lm_score, doc_id)
+                     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+            FROM j
+        """,
+        # cluster-consistent split twin: cluster key md5(normalized
+        # text), representative = min doc_id, uniform_hash(seed 17) of
+        # the rep decides the split with exact-binary cut points
+        # 0.875 / 0.9375
+        "leakage_splits": r"""
+            WITH k AS (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents),
+            r AS (SELECT digest, min(doc_id) AS cluster_rep FROM k GROUP BY 1),
+            u AS (SELECT digest, cluster_rep,
+                         list_sum([(strpos('0123456789abcdef',
+                             substring(md5('17|' || CAST(cluster_rep AS VARCHAR)), i, 1))-1)::BIGINT
+                             << (4*(8-i)) for i in range(1,9)]) / 4294967296.0 AS uh
+                  FROM r),
+            a AS (SELECT digest, cluster_rep,
+                         CASE WHEN uh < 0.875 THEN 'train'
+                              WHEN uh < 0.9375 THEN 'validation'
+                              ELSE 'test' END AS split
+                  FROM u)
+            SELECT k.doc_id, a.cluster_rep, a.split
+            FROM k JOIN a USING (digest)
         """,
     }

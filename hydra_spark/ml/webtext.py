@@ -8,7 +8,10 @@ the standard curation passes a Common-Crawl-scale training-data pipeline
 runs DOWNSTREAM of the crawl, published in: Rae et al. 2021 (Gopher,
 §A1.1 repetition filters), Raffel et al. 2020 (C4, corpus-level line
 dedup), Penedo et al. 2023 (RefinedWeb, line-wise dedup), Brown et al.
-2020 (GPT-3, appendix C n-gram decontamination).
+2020 (GPT-3, appendix C n-gram decontamination; appendix A the
+quality classifier), Lee et al. 2021 (ExactSubstr duplicate-span
+excision), Wenzek et al. 2020 (CCNet perplexity head/middle/tail
+buckets).
 
 Scale notes (100 TB design points):
 
@@ -44,9 +47,13 @@ __all__ = [
     "chunk_dedup_corpus",
     "decontaminate",
     "decontaminate_spans",
+    "duplicate_spans",
     "unigram_lm_score",
+    "nb_quality_classifier",
+    "perplexity_buckets",
     "uniform_hash",
     "stratified_sample",
+    "leakage_safe_splits",
     "redact_pii",
     "corpus_token_stats",
     "pack_sequences",
@@ -455,6 +462,14 @@ def decontaminate_spans(
     bench = benchmark.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
     pos_grams = corpus.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     hits = pos_grams.join(F.broadcast(bench), "gram").select("doc_id", "pos")
+    return _merge_islands(hits, n)
+
+
+def _merge_islands(hits: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, pos) gram hits into maximal
+    token spans: a gram at word position p covers [p, p+n-1]; hits merge
+    while the next start is <= running-max-end + 1. The window touches
+    ONLY hit rows — the full corpus never sorts."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -469,3 +484,185 @@ def decontaminate_spans(
         (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_token"),
         F.count("*").alias("n_grams"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find the
+    token spans whose every ``n``-gram occurs at least ``min_count``
+    times ANYWHERE in the corpus (same doc or another), merged into
+    maximal per-doc excision windows. Lee et al. build a corpus-wide
+    suffix array and excise >=50-token repeats; the n-gram-frequency
+    formulation reaches the same spans for repeats of length >= n while
+    staying in plain DataFrame ops (a suffix array over 100 TB of text
+    is exactly the kind of global index a Spark pipeline replaces with a
+    keyed aggregate).
+
+    Plan: posexplode n-grams once -> ONE shuffle keyed on the 8-byte
+    ``xxhash64(gram)`` for the exact occurrence counts (two-phase
+    partial agg) -> co-keyed join of the exploded side against the
+    (filtered, usually small) duplicated-gram set -> gaps-and-islands
+    window over ONLY the hit rows. Viral boilerplate grams are one row
+    each on the frequency side, so join skew sits on the exploded side
+    where AQE splits it. ``portable_hash`` groups on the gram string
+    instead (byte-identical replay on any engine; ~3-10x more shuffle
+    bytes — test/oracle use).
+
+    Returns one row per maximal span: (doc_id, span_id, start_token,
+    end_token — inclusive 0-based word offsets —, n_grams).
+    """
+    grams = shingles(text_col, n)
+    key = F.col("gram") if portable_hash else F.xxhash64("gram")
+    ex = df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).withColumn(
+        "gram_h", key
+    )
+    freq = ex.groupBy("gram_h").agg(F.count("*").alias("occ"))
+    dup = freq.where(F.col("occ") >= min_count).select("gram_h")
+    hits = ex.join(dup, "gram_h").select("doc_id", "pos")
+    return _merge_islands(hits, n)
+
+
+def nb_quality_classifier(
+    corpus: DataFrame,
+    positives: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    vocab_size: int = 200_000,
+) -> DataFrame:
+    """Quality-classifier filtering, the GPT-3/LLaMA CommonCrawl gate
+    (Brown et al. 2020 appendix A: a linear classifier trained on
+    WebText-like positives vs raw-CC negatives keeps docs scoring above
+    a threshold). The multinomial naive-Bayes twin keeps train AND score
+    fully declarative: per-word log-likelihood ratio
+    llr(w) = log((pos_cnt+a)/(pos_tot+a*V)) - log((neg_cnt+a)/(neg_tot+a*V))
+    with the raw corpus itself as the negative/background class, and a
+    doc scores the MEAN llr of its words (mean, not sum, so length
+    doesn't dominate — same normalization fastText applies).
+
+    Plan: two word-count aggregates (map-side combinable; the positive
+    set is the small curated side) -> full-outer merge into one vocab
+    table truncated to the top ``vocab_size`` by combined count ->
+    BROADCAST vocab + 1-row totals joined against the exploded corpus
+    (the corpus side never shuffles) -> one re-agg by doc. Smoothing
+    uses the FULL distinct-vocab count V (not the truncated size), so
+    truncation only moves tail words to the OOV constant instead of
+    changing the model.
+
+    Returns (id_col, n_words, nb_llr — rounded 6 —, is_quality =
+    nb_llr > 0).
+    """
+    def words_of(df):
+        return df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+
+    pos_w = words_of(positives)
+    neg_w = words_of(corpus)
+    pos_cnt = pos_w.groupBy("word").agg(F.count("*").alias("pc"))
+    neg_cnt = neg_w.groupBy("word").agg(F.count("*").alias("nc"))
+    merged = pos_cnt.join(neg_cnt, "word", "full").select(
+        "word",
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    vocab = merged.orderBy(F.desc(F.col("pc") + F.col("nc")), "word").limit(vocab_size)
+    totals = merged.agg(
+        F.sum("pc").cast("double").alias("pos_tot"),
+        F.sum("nc").cast("double").alias("neg_tot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    a = float(alpha)
+    doc_words = corpus.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    )
+    scored = (
+        doc_words.join(F.broadcast(vocab), "word", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_llr",
+            F.log((F.coalesce(F.col("pc"), F.lit(0)).cast("double") + a)
+                  / (F.col("pos_tot") + a * F.col("v")))
+            - F.log((F.coalesce(F.col("nc"), F.lit(0)).cast("double") + a)
+                    / (F.col("neg_tot") + a * F.col("v"))),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.round(F.avg("_llr"), 6).alias("nb_llr"),
+    )
+    return out.select(id_col, "n_words", "nb_llr", (F.col("nb_llr") > 0).alias("is_quality"))
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "lm_score",
+    by: str = "lang",
+    id_col: str = "doc_id",
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): within
+    each language, split documents into head/middle/tail terciles of LM
+    score (ascending — low perplexity = fluent = head); pipelines keep
+    head+middle and drop or down-weight tail.
+
+    This is the exact-rank variant: ntile over (score, id) inside each
+    language partition — deterministic, engine-portable, and parallel
+    across languages. One language dominating the corpus serializes its
+    partition's sort at 100 TB; CCNet itself computes the cutoffs on a
+    SAMPLE and buckets by threshold comparison — do the same at scale
+    (percentile_approx on a sample, then a pure filter); the ntile
+    variant is the replayable twin the oracle gate can verify.
+
+    Returns (id_col, by, score_col, bucket).
+    """
+    w = Window.partitionBy(by).orderBy(score_col, id_col)
+    tile = F.ntile(len(names)).over(w)
+    bucket = F.element_at(F.array(*[F.lit(x) for x in names]), tile)
+    return scored.select(id_col, by, score_col, bucket.alias("bucket"))
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.9, 0.05, 0.05),
+    names: tuple[str, ...] = ("train", "validation", "test"),
+    seed: int = 17,
+) -> DataFrame:
+    """Cluster-consistent train/validation/test assignment: exact-dup
+    documents must land in the SAME split or the eval set leaks into
+    training (the SentencePiece/The-Pile-era bug class that
+    deduplication papers warn about). Each duplicate cluster (keyed by
+    md5 of the normalized text) is assigned once, by
+    ``uniform_hash(cluster representative)``, and every member inherits
+    the assignment. Weights are cumulative-compared, so exact binary
+    weights replay exactly across engines.
+
+    Plan: one groupBy on the 16-byte digest for the representative
+    (min id — two-phase agg), then a join back keyed on the SAME digest
+    (co-partitioned, no extra shuffle of the big side beyond that one
+    key). Scale: clusters are ~corpus-distinct-count rows; the digest
+    join is the same shape as exact dedup.
+
+    Returns (id_col, cluster_rep, split).
+    """
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    keyed = df.select(F.col(id_col), digest.alias("_digest"))
+    reps = keyed.groupBy("_digest").agg(F.min(id_col).alias("cluster_rep"))
+    u = uniform_hash(F.col("cluster_rep").cast("string"), seed)
+    cum = 0.0
+    expr = None
+    for w_, name in zip(weights, names):
+        cum += float(w_)
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    assigned = reps.select("_digest", "cluster_rep", expr.otherwise(F.lit(names[-1])).alias("split"))
+    return keyed.join(assigned, "_digest").select(id_col, "cluster_rep", "split")

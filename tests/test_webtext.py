@@ -300,3 +300,138 @@ class TestPackSequences:
         rows = {r.doc_id: r for r in webtext.pack_sequences(df, window=4).collect()}
         assert rows[1].n_tokens == 0 and rows[1].start_offset == 2 and rows[1].seq_count == 1
         assert rows[2].start_offset == 2
+
+
+class TestDuplicateSpans:
+    def test_within_doc_repeat(self, spark):
+        # "a b c d e" occurs at word pos 0 and 6 -> two disjoint spans
+        df = _docs(spark, ["a b c d e x a b c d e"])
+        rows = sorted(
+            webtext.duplicate_spans(df, n=5, min_count=2).collect(),
+            key=lambda r: r.start_token,
+        )
+        assert [(r.start_token, r.end_token, r.n_grams) for r in rows] == [
+            (0, 4, 1),
+            (6, 10, 1),
+        ]
+
+    def test_cross_doc_repeat_merges_overlaps(self, spark):
+        # both docs identical: every 5-gram occurs twice corpus-wide;
+        # the two overlapping grams per doc merge into one span [0, 5]
+        df = _docs(spark, ["p q r s t u", "p q r s t u"])
+        rows = webtext.duplicate_spans(df, n=5, min_count=2).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert (r.start_token, r.end_token, r.n_grams) == (0, 5, 2)
+
+    def test_unique_corpus_emits_no_rows(self, spark):
+        df = _docs(spark, ["one two three four five six", "a b c d e f"])
+        assert webtext.duplicate_spans(df, n=5, min_count=2).count() == 0
+
+    def test_portable_hash_twin_matches(self, spark):
+        df = _docs(spark, ["a b c d e x a b c d e", "p q r s t", "p q r s t"])
+        fast = sorted(map(tuple, webtext.duplicate_spans(df, n=5).collect()))
+        portable = sorted(
+            map(tuple, webtext.duplicate_spans(df, n=5, portable_hash=True).collect())
+        )
+        assert fast == portable
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = _docs(spark, ["a b c d e f"])
+        plan = webtext.duplicate_spans(df, n=5)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNbQualityClassifier:
+    def test_hand_computed_llr(self, spark):
+        import math
+
+        corpus = _docs(spark, ["good good", "bad bad"])
+        positives = corpus.where("doc_id = 0")
+        rows = {
+            r.doc_id: r
+            for r in webtext.nb_quality_classifier(corpus, positives, alpha=0.5).collect()
+        }
+        # vocab V=2, pos_tot=2, neg_tot=4
+        llr_good = math.log(2.5 / 3) - math.log(2.5 / 5)
+        llr_bad = math.log(0.5 / 3) - math.log(2.5 / 5)
+        assert rows[0].n_words == 2 and rows[1].n_words == 2
+        assert rows[0].nb_llr == pytest.approx(round(llr_good, 6), abs=2e-6)
+        assert rows[1].nb_llr == pytest.approx(round(llr_bad, 6), abs=2e-6)
+        assert rows[0].is_quality and not rows[1].is_quality
+
+    def test_oov_uses_full_vocab_smoothing(self, spark):
+        import math
+
+        # vocab truncated to 1 ("good" wins on combined count) but V
+        # stays 2 — "bad" scores the OOV constant ln(a/(pos_tot+aV)) - ln(a/(neg_tot+aV))
+        corpus = _docs(spark, ["good good", "bad bad"])
+        positives = corpus.where("doc_id = 0")
+        rows = {
+            r.doc_id: r
+            for r in webtext.nb_quality_classifier(
+                corpus, positives, alpha=0.5, vocab_size=1
+            ).collect()
+        }
+        oov = math.log(0.5 / 3) - math.log(0.5 / 5)
+        assert rows[1].nb_llr == pytest.approx(round(oov, 6), abs=2e-6)
+
+    def test_vocab_and_totals_broadcast(self, spark):
+        corpus = _docs(spark, ["a b", "c d"])
+        plan = (
+            webtext.nb_quality_classifier(corpus, corpus.where("doc_id = 0"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPerplexityBuckets:
+    def test_terciles_within_language(self, spark):
+        scored = spark.createDataFrame(
+            [
+                Row(doc_id=0, lm_score=1.0, lang="en"),
+                Row(doc_id=1, lm_score=2.0, lang="en"),
+                Row(doc_id=2, lm_score=3.0, lang="en"),
+                Row(doc_id=3, lm_score=9.0, lang="fr"),
+                Row(doc_id=4, lm_score=1.0, lang="fr"),
+            ]
+        )
+        rows = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(scored).collect()}
+        assert rows[0] == "head" and rows[1] == "middle" and rows[2] == "tail"
+        # 2-doc language: ntile(3) fills head then middle
+        assert rows[4] == "head" and rows[3] == "middle"
+
+    def test_score_ties_break_by_id(self, spark):
+        scored = spark.createDataFrame(
+            [Row(doc_id=i, lm_score=5.0, lang="en") for i in range(3)]
+        )
+        rows = {r.doc_id: r.bucket for r in webtext.perplexity_buckets(scored).collect()}
+        assert rows == {0: "head", 1: "middle", 2: "tail"}
+
+
+class TestLeakageSafeSplits:
+    def test_exact_dups_share_split_and_rep(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="Same Text"),
+                Row(doc_id=1, text="  same text  "),
+                Row(doc_id=2, text="different entirely"),
+            ]
+        )
+        rows = {r.doc_id: r for r in webtext.leakage_safe_splits(df).collect()}
+        assert rows[0].cluster_rep == 0 and rows[1].cluster_rep == 0
+        assert rows[0].split == rows[1].split
+        assert rows[2].cluster_rep == 2
+
+    def test_degenerate_weights_and_determinism(self, spark):
+        df = _docs(spark, [f"doc number {i}" for i in range(8)])
+        all_train = webtext.leakage_safe_splits(df, weights=(1.0, 0.0, 0.0)).collect()
+        assert {r.split for r in all_train} == {"train"}
+        a = sorted(map(tuple, webtext.leakage_safe_splits(df).collect()))
+        b = sorted(map(tuple, webtext.leakage_safe_splits(df).collect()))
+        assert a == b
+
+    def test_split_names_cover_weights(self, spark):
+        df = _docs(spark, [f"text {i} {i * 7}" for i in range(64)])
+        got = webtext.leakage_safe_splits(df, weights=(0.5, 0.25, 0.25)).select("split")
+        assert {r.split for r in got.collect()} <= {"train", "validation", "test"}
