@@ -1042,6 +1042,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), weights=(0.875, 0.0625, 0.0625)
         )
 
+    def q_gopher_quality(spark, sf):  # webtext: Rae et al. §A1.1 named quality rules
+        from hydra_spark.ml import webtext
+
+        return webtext.gopher_quality_flags(_t(spark, sf, "documents"))
+
+    def q_incremental_dedup(spark, sf):  # webtext: cross-snapshot exact dedup
+        from hydra_spark.ml.dedup import incremental_dedup, normalized
+
+        docs = _t(spark, sf, "documents")
+        prior = docs.where("source = 'src0'").select(
+            F.md5(normalized("text")).alias("digest")
+        )
+        return incremental_dedup(docs.where("source <> 'src0'"), prior)
+
     def q_claim_cap(spark, sf):  # §2.4: per-domain in-round politeness cap
         # the claimed SET under the cap depends on the xxhash64 seeded
         # order (not md5-replayable), but the per-domain claim COUNT is
@@ -1122,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "perplexity_buckets": q_perplexity_buckets,
         "leakage_splits": q_leakage_splits,
+        "gopher_quality": q_gopher_quality,
+        "incremental_dedup": q_incremental_dedup,
         "claim_cap": q_claim_cap,
     }
 
@@ -1953,5 +1969,78 @@ def oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT k.doc_id, a.cluster_rep, a.split
             FROM k JOIN a USING (digest)
+        """,
+        # Rae et al. 2021 Table A1 named quality rules, feature-for-
+        # feature twin of webtext.gopher_quality_flags
+        "gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+                     regexp_split_to_array(text, '\n') AS lines,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+                     END AS n_words,
+                     len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols
+              FROM documents),
+            feat AS (
+              SELECT doc_id, n_words,
+                     round(list_sum([len(w) for w in words])
+                           / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS mean_word_len,
+                     round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 6)
+                       AS symbol_word_ratio,
+                     round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[•‣▪\-\*]')))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
+                     round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+                     round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                           / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS alpha_word_frac,
+                     CAST(list_contains(words, 'the') AS INT)
+                     + CAST(list_contains(words, 'be') AS INT)
+                     + CAST(list_contains(words, 'to') AS INT)
+                     + CAST(list_contains(words, 'of') AS INT)
+                     + CAST(list_contains(words, 'and') AS INT)
+                     + CAST(list_contains(words, 'that') AS INT)
+                     + CAST(list_contains(words, 'have') AS INT)
+                     + CAST(list_contains(words, 'with') AS INT) AS n_required_stopwords
+              FROM base),
+            fl AS (
+              SELECT *,
+                     n_words BETWEEN 50 AND 100000 AS flag_word_count,
+                     mean_word_len BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+                     symbol_word_ratio <= 0.1 AS flag_symbol_ratio,
+                     bullet_line_frac <= 0.9 AS flag_bullet_lines,
+                     ellipsis_line_frac <= 0.3 AS flag_ellipsis_lines,
+                     alpha_word_frac >= 0.8 AS flag_alpha_words,
+                     n_required_stopwords >= 2 AS flag_stopwords
+              FROM feat)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_required_stopwords,
+                   flag_word_count, flag_mean_word_len, flag_symbol_ratio,
+                   flag_bullet_lines, flag_ellipsis_lines, flag_alpha_words,
+                   flag_stopwords,
+                   flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+                   AND flag_bullet_lines AND flag_ellipsis_lines
+                   AND flag_alpha_words AND flag_stopwords AS passes_gopher
+            FROM fl
+        """,
+        # cross-snapshot dedup twin: prior = src0 digests, new = rest;
+        # first occurrence per digest keeps, prior hits win over within
+        "incremental_dedup": r"""
+            WITH norm AS (
+              SELECT doc_id, source,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+              FROM documents),
+            prior AS (SELECT DISTINCT digest FROM norm WHERE source = 'src0'),
+            nw AS (SELECT doc_id, digest FROM norm WHERE source <> 'src0'),
+            f AS (SELECT doc_id, digest,
+                         min(doc_id) OVER (PARTITION BY digest) AS first_id,
+                         digest IN (SELECT digest FROM prior) AS in_prior
+                  FROM nw)
+            SELECT doc_id, digest,
+                   CASE WHEN in_prior THEN 'dup_prior'
+                        WHEN doc_id <> first_id THEN 'dup_within'
+                        ELSE 'kept' END AS status
+            FROM f
         """,
     }

@@ -82,6 +82,65 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    prior_digests: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot exact dedup — the Common-Crawl-monthly primitive:
+    a NEW snapshot is deduplicated against the digests of everything
+    already in the corpus (``prior_digests``, one ``digest`` column)
+    AND against itself, without ever re-reading the prior text. Each
+    new doc gets a status:
+
+    - ``dup_prior``  — normalized content already in the corpus
+    - ``dup_within`` — a non-first occurrence inside the new snapshot
+    - ``kept``       — first sighting anywhere (the rows to append)
+
+    Plan: ONE shuffle of the new snapshot keyed on the 16-byte digest
+    covers both the within-snapshot first-occurrence window and (same
+    key) the sort-merge left join against the prior digest table; the
+    big prior side moves at most once and can be bucketed by digest so
+    successive monthly runs skip its shuffle entirely. At 10^10 docs
+    the prior table is ~a few hundred GB of digests — a sharded Bloom
+    filter over it (hydra_spark.seen) makes a cheap prefilter that
+    keeps definitely-new docs out of the join; the join stays as the
+    exact verifier.
+
+    The updated digest table for the next snapshot is
+    ``prior_digests ∪ kept-row digests`` (see `updated_digests`).
+    """
+    keyed = new_df.select(F.col(id_col), F.md5(normalized(text_col)).alias("digest"))
+    w = Window.partitionBy("digest")
+    firsts = keyed.withColumn("_first", F.min(id_col).over(w))
+    if prior_digests is None:
+        prior = None
+    else:
+        prior = prior_digests.select("digest").distinct().withColumn("_prior", F.lit(True))
+    if prior is not None:
+        firsts = firsts.join(prior, "digest", "left")
+    else:
+        firsts = firsts.withColumn("_prior", F.lit(None).cast("boolean"))
+    status = (
+        F.when(F.col("_prior"), F.lit("dup_prior"))
+        .when(F.col(id_col) != F.col("_first"), F.lit("dup_within"))
+        .otherwise(F.lit("kept"))
+    )
+    return firsts.select(id_col, "digest", status.alias("status"))
+
+
+def updated_digests(prior_digests: DataFrame | None, resolved: DataFrame) -> DataFrame:
+    """Digest table for the NEXT snapshot: prior ∪ the digests this
+    snapshot kept (dup_prior rows are already present; dup_within rows
+    share their digest with a kept row). Distinct on the same key the
+    store is bucketed by — map-side combinable."""
+    kept = resolved.where(F.col("status") == "kept").select("digest")
+    if prior_digests is None:
+        return kept.distinct()
+    return prior_digests.select("digest").union(kept).distinct()
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

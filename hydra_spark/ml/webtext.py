@@ -36,6 +36,8 @@ chunks make the dedup unit deterministic. On real webtext pass
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,7 @@ __all__ = [
     "redact_pii",
     "corpus_token_stats",
     "pack_sequences",
+    "gopher_quality_flags",
 ]
 
 
@@ -666,3 +669,91 @@ def leakage_safe_splits(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     assigned = reps.select("_digest", "cluster_rep", expr.otherwise(F.lit(names[-1])).alias("split"))
     return keyed.join(assigned, "_digest").select(id_col, "cluster_rep", "split")
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The named Gopher quality rules (Rae et al. 2021 §A1.1 / Table A1)
+    as per-document boolean flags — the standard pre-filter every
+    Common-Crawl curation pipeline applies before dedup (MassiveWeb,
+    RefinedWeb §3.1.3, FineWeb all reuse these thresholds):
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio (# and ...) <= 0.1
+    4. <= 90 % of lines start with a bullet
+    5. <= 30 % of lines end with an ellipsis
+    6. >= 80 % of words contain an alphabetic character
+    7. at least 2 of the 8 required stop words present
+
+    (The repetition rules from the same appendix live in
+    `repetition_features` — Gopher splits them the same way.)
+
+    Everything is whole-stage-codegen expression work over the word and
+    line arrays — no shuffle, no UDF, a pure row-map that pushes down
+    past any scan. Returns one row per doc with the measured features,
+    the seven flags, and ``passes_gopher`` = AND of all seven.
+    """
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+
+    char_total = F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
+    mean_word_len = F.round(char_total / safe_words, 6)
+    n_symbols = F.coalesce(F.regexp_count(t, F.lit(r"#|\.\.\.|…")), F.lit(0))
+    symbol_ratio = F.round(n_symbols / safe_words, 6)
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•‣▪\-\*]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / safe_words, 6
+    )
+    n_stop = reduce(
+        lambda a, b: a + b,
+        [F.array_contains(words, s).cast("int") for s in _GOPHER_STOPWORDS],
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_required_stopwords"),
+    )
+    flags = {
+        "flag_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "flag_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "flag_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "flag_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "flag_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "flag_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "flag_stopwords": F.col("n_required_stopwords") >= min_stopwords,
+    }
+    out = out.select("*", *[v.alias(k) for k, v in flags.items()])
+    passes = reduce(lambda a, b: a & b, [F.col(k) for k in flags])
+    return out.withColumn("passes_gopher", passes)

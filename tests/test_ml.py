@@ -1331,3 +1331,53 @@ def test_parse_avi_header():
     for cut in (4, 11, 20, 40, len(p) - 5):
         parse_avi_header(p[:cut])
     assert parse_avi_header(p[:11]) is None
+
+
+class TestIncrementalDedup:
+    def _new(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(doc_id=10, text="alpha beta"),
+            Row(doc_id=11, text="  ALPHA   beta "),
+            Row(doc_id=12, text="seen before"),
+            Row(doc_id=13, text="fresh content"),
+        ])
+
+    def _prior(self, spark):
+        return spark.range(1).select(F.md5(F.lit("seen before")).alias("digest"))
+
+    def test_statuses(self, spark):
+        rows = {
+            r.doc_id: r.status
+            for r in dedup.incremental_dedup(self._new(spark), self._prior(spark)).collect()
+        }
+        assert rows == {10: "kept", 11: "dup_within", 12: "dup_prior", 13: "kept"}
+
+    def test_no_prior_table(self, spark):
+        rows = {
+            r.doc_id: r.status
+            for r in dedup.incremental_dedup(self._new(spark), None).collect()
+        }
+        assert rows == {10: "kept", 11: "dup_within", 12: "kept", 13: "kept"}
+
+    def test_updated_digests_roll_forward(self, spark):
+        new, prior = self._new(spark), self._prior(spark)
+        resolved = dedup.incremental_dedup(new, prior)
+        nxt = dedup.updated_digests(prior, resolved)
+        # next snapshot containing the same docs is now ALL prior-dups
+        # (prior membership wins over within-snapshot ordering)
+        again = dedup.incremental_dedup(new, nxt)
+        assert {r.status for r in again.collect()} == {"dup_prior"}
+        assert nxt.count() == 3  # seen-before + alpha-beta + fresh
+
+    def test_prior_dup_beats_within(self, spark):
+        from pyspark.sql import Row
+
+        # both copies of a doc that is ALSO in prior -> both dup_prior
+        new = spark.createDataFrame([
+            Row(doc_id=1, text="seen before"),
+            Row(doc_id=2, text="seen  BEFORE"),
+        ])
+        rows = dedup.incremental_dedup(new, self._prior(spark)).collect()
+        assert {r.status for r in rows} == {"dup_prior"}

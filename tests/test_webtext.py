@@ -435,3 +435,43 @@ class TestLeakageSafeSplits:
         df = _docs(spark, [f"text {i} {i * 7}" for i in range(64)])
         got = webtext.leakage_safe_splits(df, weights=(0.5, 0.25, 0.25)).select("split")
         assert {r.split for r in got.collect()} <= {"train", "validation", "test"}
+
+
+class TestGopherQualityFlags:
+    def test_clean_doc_passes(self, spark):
+        text = "the cat sat to be of and that have with " + "word " * 60
+        [r] = webtext.gopher_quality_flags(_docs(spark, [text])).collect()
+        assert r.passes_gopher
+        assert r.n_required_stopwords == 8 and r.alpha_word_frac == 1.0
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join("• item" for _ in range(10))
+        [r] = webtext.gopher_quality_flags(_docs(spark, [bullets])).collect()
+        assert r.bullet_line_frac == 1.0 and not r.flag_bullet_lines
+        dots = "\n".join("trailing thing..." for _ in range(10))
+        [r] = webtext.gopher_quality_flags(_docs(spark, [dots])).collect()
+        assert r.ellipsis_line_frac == 1.0 and not r.flag_ellipsis_lines
+
+    def test_symbol_soup_and_digit_words(self, spark):
+        [r] = webtext.gopher_quality_flags(_docs(spark, ["# # # word"])).collect()
+        assert r.symbol_word_ratio == 0.75 and not r.flag_symbol_ratio
+        [r] = webtext.gopher_quality_flags(_docs(spark, ["1 2 3 4 5"])).collect()
+        assert r.alpha_word_frac == 0.0 and not r.flag_alpha_words
+
+    def test_word_count_bounds_and_empty(self, spark):
+        [r] = webtext.gopher_quality_flags(_docs(spark, ["short doc"])).collect()
+        assert r.n_words == 2 and not r.flag_word_count
+        [r] = webtext.gopher_quality_flags(_docs(spark, [""])).collect()
+        assert r.n_words == 0 and not r.passes_gopher
+
+    def test_mean_word_length_rule(self, spark):
+        # 100 one-char words -> mean 1.0, outside [3, 10]
+        [r] = webtext.gopher_quality_flags(_docs(spark, ["a " * 100])).collect()
+        assert r.mean_word_len == 1.0 and not r.flag_mean_word_len
+
+    def test_shuffle_free_plan(self, spark):
+        plan = (
+            webtext.gopher_quality_flags(_docs(spark, ["x"]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
