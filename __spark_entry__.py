@@ -1056,6 +1056,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_html_extract(spark, sf):  # full-page HTML -> text, id-grammar replay
+        from hydra_spark.analysis.extract import html_to_text
+        from hydra_spark.datagen import rich_html_page
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        html, _ = rich_html_page(F.col("doc_id"))
+        pages = docs.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+        out = pages.select("doc_id", html_to_text("html").alias("text"))
+        return out.select("doc_id", "text", F.length("text").alias("n_chars"))
+
     def q_claim_cap(spark, sf):  # §2.4: per-domain in-round politeness cap
         # the claimed SET under the cap depends on the xxhash64 seeded
         # order (not md5-replayable), but the per-domain claim COUNT is
@@ -1138,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_splits": q_leakage_splits,
         "gopher_quality": q_gopher_quality,
         "incremental_dedup": q_incremental_dedup,
+        "html_extract": q_html_extract,
         "claim_cap": q_claim_cap,
     }
 
@@ -2042,5 +2053,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id <> first_id THEN 'dup_within'
                         ELSE 'kept' END AS status
             FROM f
+        """,
+        # id-grammar replay of datagen.rich_html_page: the oracle never
+        # parses HTML — it rebuilds the extractor's expected text from
+        # the id arithmetic alone (same pattern as media_meta)
+        "html_extract": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'Heading ' || doc_id || chr(10)
+                     || array_to_string(['para ' || doc_id || ' ' || j || ' alpha & beta'
+                                         for j in range(0, CAST(doc_id % 3 AS BIGINT) + 1)],
+                                        chr(10))
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'item one ' || doc_id
+                                  || chr(10) || 'item "two"'
+                             ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id, text, CAST(len(text) AS INT) AS n_chars FROM t
         """,
     }

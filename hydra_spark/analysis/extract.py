@@ -95,3 +95,96 @@ def extracted_text_sha1(html_col: Column) -> Column:
     """sha1 of the extracted text — the cheap form of the invariant for
     the checks log (full text goes to the texts output table)."""
     return F.sha1(F.encode(extract_text(html_col), "UTF-8"))
+
+
+# ---------------------------------------------------------------------------
+# Rich HTML → text (trafilatura-shaped boilerplate removal, stdlib-only)
+# ---------------------------------------------------------------------------
+
+# containers whose entire subtree is boilerplate/metadata — dropped
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "title", "nav",
+     "header", "footer", "aside", "svg", "iframe"}
+)
+# elements that bound a text block: their start OR end flushes the
+# current block; inline markup (b/i/a/span/em/strong/code…) flows through
+_BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "div",
+     "section", "article", "main", "blockquote", "pre", "table", "tr",
+     "td", "th", "br", "hr", "dt", "dd", "dl", "figcaption", "form",
+     "fieldset", "legend", "address", "summary", "details", "body"}
+)
+
+
+def _make_html_parser():
+    # lazy class creation keeps the stdlib import off the executor's
+    # module-import path until the UDF actually runs
+    from html.parser import HTMLParser
+
+    class _TextExtractor(HTMLParser):
+        """Block-structured text extraction: skip-subtree containers,
+        block boundaries at block-level tags, whitespace collapsed
+        within a block, blocks joined with newline. Entities/charrefs
+        decode via convert_charrefs. Tolerates unclosed tags (a skip
+        container left open skips to EOF, like real boilerplate)."""
+
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self._blocks: list[list[str]] = [[]]
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self._skip += 1
+            elif tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                self._skip = max(0, self._skip - 1)
+            elif tag in _BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, data):
+            if not self._skip and data:
+                self._blocks[-1].append(data)
+
+        def _flush(self):
+            if self._blocks[-1]:
+                self._blocks.append([])
+
+        def text(self) -> str:
+            out = []
+            for parts in self._blocks:
+                t = " ".join("".join(parts).split())
+                if t:
+                    out.append(t)
+            return "\n".join(out)
+
+    return _TextExtractor
+
+
+def html_to_text_py(payload: bytes | str | None) -> str | None:
+    """Full-page HTML → text: drop script/style/head/nav/header/footer/
+    aside subtrees and comments, break text at block-level elements,
+    collapse intra-block whitespace, decode entities, join blocks with
+    newlines. The reference stops at resource analysis; this is the
+    trafilatura-shaped stage a webtext pipeline runs on fetched pages
+    (RefinedWeb §3.1.2's extraction step), in pure stdlib so the exact
+    output is replayable anywhere."""
+    if payload is None:
+        return None
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        payload = bytes(payload).decode("utf-8", "replace")
+    parser = _make_html_parser()()
+    parser.feed(payload)
+    parser.close()
+    return parser.text()
+
+
+@F.pandas_udf(T.StringType())
+def html_to_text(html: pd.Series) -> pd.Series:
+    """Arrow-batched wrapper of `html_to_text_py` (binary or string in).
+    Parsing is inherently per-document stateful — the batch transfer is
+    vectorized, the parse is the unavoidable Python core."""
+    return html.map(html_to_text_py)

@@ -290,3 +290,60 @@ def generate_frontier(
     # frontier key is resource_id — md5(url) collisions are impossible in
     # the synthetic corpus, but keep the invariant explicit:
     return fr.dropDuplicates(["resource_id"])
+
+
+def rich_html_page(idx: Column) -> tuple[Column, Column]:
+    """(html_source, expected_text) for a deterministic full-page HTML
+    grammar exercising every behavior of `analysis.extract.html_to_text`:
+    skip containers (head/title/style/script/nav/footer), comments,
+    inline markup flowing through block text, entity decoding, intra-
+    block whitespace collapse, per-id paragraph multiplicity and a
+    conditional list. Both sides are pure column expressions, so a SQL
+    oracle can rebuild `expected_text` from the id alone — the same
+    arithmetic-replay pattern as the media-container grammar."""
+    i = idx.cast("string")
+    paras_html = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (idx % 3).cast("int")),
+            lambda j: F.concat(
+                F.lit("<p>para  "), i, F.lit(" "), j.cast("string"),
+                F.lit("  alpha &amp; beta</p>"),
+            ),
+        ),
+        "",
+    )
+    list_html = F.when(
+        idx % 4 == 0,
+        F.concat(
+            F.lit("<ul><li>item one "), i,
+            F.lit("</li><li>item &quot;two&quot;</li></ul>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i,
+        F.lit("</title><style>p { color: red }</style></head><body>"),
+        F.lit("<nav>home | about | contact</nav><!-- build "), i, F.lit(" -->"),
+        F.lit("<h1>Heading <b>"), i, F.lit("</b></h1>"),
+        F.lit("<script>var x = "), i, F.lit(";</script>"),
+        paras_html,
+        list_html,
+        F.lit("<footer>&copy; example.com</footer></body></html>"),
+    )
+    paras_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (idx % 3).cast("int")),
+            lambda j: F.concat(
+                F.lit("para "), i, F.lit(" "), j.cast("string"),
+                F.lit(" alpha & beta"),
+            ),
+        ),
+        "\n",
+    )
+    expected = F.concat(
+        F.lit("Heading "), i, F.lit("\n"), paras_text,
+        F.when(
+            idx % 4 == 0,
+            F.concat(F.lit("\nitem one "), i, F.lit('\nitem "two"')),
+        ).otherwise(F.lit("")),
+    )
+    return html, expected

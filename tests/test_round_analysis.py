@@ -180,3 +180,55 @@ def test_extraction_twins_agree(spark):
         assert out[i][1] == expected, (i, "jvm", out[i][1], expected)
     for j, b in enumerate(python_only_cases, start=len(plain_cases)):
         assert out[j][0] == _extract_text_py(bytes(b))  # pandas handles gzip/xlsx too
+
+
+class TestHtmlToText:
+    """Full-page extractor (analysis/extract.py html_to_text): boilerplate
+    subtree removal, block-newline semantics, entities, malformed input."""
+
+    def _x(self, s):
+        from hydra_spark.analysis.extract import html_to_text_py
+
+        return html_to_text_py(s)
+
+    def test_grammar_replay_matches_oracle_expectation(self, spark):
+        from pyspark.sql import functions as F
+
+        from hydra_spark.analysis.extract import html_to_text
+        from hydra_spark.datagen import rich_html_page
+
+        html, expected = rich_html_page(F.col("id"))
+        pages = spark.range(0, 64).select(
+            "id", F.encode(html, "UTF-8").alias("html"), expected.alias("expected")
+        )
+        bad = pages.select(
+            (html_to_text("html") == F.col("expected")).alias("ok")
+        ).where("NOT ok")
+        assert bad.count() == 0
+
+    def test_skip_containers_and_comments(self):
+        s = ("<html><head><title>T</title><script>x</script></head>"
+             "<body><nav>menu</nav><!-- c --><p>keep</p>"
+             "<footer>foot</footer></body></html>")
+        assert self._x(s) == "keep"
+
+    def test_nested_skip_and_unclosed_script(self):
+        assert self._x("<div><script>a<style>b</style>c</script>ok</div>") == "ok"
+        # unclosed script swallows the rest, like real boilerplate
+        assert self._x("<p>first</p><script>var x;") == "first"
+
+    def test_inline_tags_flow_and_entities_decode(self):
+        s = "<p>a <b>bold</b> &amp; <i>ital</i> &#65;</p>"
+        assert self._x(s) == "a bold & ital A"
+
+    def test_block_boundaries_and_whitespace_collapse(self):
+        s = "<h1>  Big\t Title </h1><p>one</p><p>two</p><ul><li>x</li><li>y</li></ul>"
+        assert self._x(s) == "Big Title\none\ntwo\nx\ny"
+        assert self._x("line<br>break") == "line\nbreak"
+
+    def test_plain_text_and_edge_inputs(self):
+        assert self._x("no tags at all") == "no tags at all"
+        assert self._x("") == ""
+        assert self._x(None) is None
+        # invalid utf-8 bytes decode leniently, parse continues
+        assert self._x(b"<p>ok \xff\xfe</p>") == "ok ��"
