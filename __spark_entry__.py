@@ -1056,6 +1056,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_url_filter(spark, sf):  # RefinedWeb-style URL gate (blocklist + keywords)
+        from hydra_spark.ml.urlfilter import url_quality_filter
+
+        d = F.col("doc_id")
+        url = (
+            F.when(d % 5 == 0,
+                   F.concat(F.lit("https://ads.tracker"), (d % 7).cast("string"),
+                            F.lit(".com/banner/"), d.cast("string")))
+            .when(d % 5 == 1,
+                  F.concat(F.lit("https://cdn.media"), (d % 9).cast("string"),
+                           F.lit(".example.org/asset/"), d.cast("string")))
+            .when(d % 5 == 2,
+                  F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                           F.lit(".example.com/casino-bonus/"), d.cast("string")))
+            .when(d % 5 == 3,
+                  F.concat(F.lit("https://blog.example.net/post/"), d.cast("string"),
+                           F.lit("?download=free")))
+            .otherwise(F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                                F.lit(".example.com/doc/"), d.cast("string")))
+        )
+        docs = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+        blocklist = [f"tracker{k}.com" for k in range(4)] + ["blog.example.net"]
+        weights = {"casino": 1.0, "bonus": 0.5, "download": 0.4, "free": 0.4}
+        out = url_quality_filter(docs, blocklist, keyword_weights=weights)
+        return out.select("doc_id", "url", "host", "domain_blocked", "url_score", "keep")
+
     def q_html_extract(spark, sf):  # full-page HTML -> text, id-grammar replay
         from hydra_spark.analysis.extract import html_to_text
         from hydra_spark.datagen import rich_html_page
@@ -1149,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "incremental_dedup": q_incremental_dedup,
         "html_extract": q_html_extract,
+        "url_filter": q_url_filter,
         "claim_cap": q_claim_cap,
     }
 
@@ -2070,5 +2097,43 @@ def oracle_sql() -> dict[str, str]:
                              ELSE '' END AS text
               FROM documents)
             SELECT doc_id, text, CAST(len(text) AS INT) AS n_chars FROM t
+        """,
+        # URL-gate twin: rebuild the synthesized URL per the same id
+        # arithmetic; blocklist matching = exact host or label-aligned
+        # parent domain; score = sum of contained keyword weights
+        "url_filter": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 5 = 0 THEN 'https://ads.tracker' || (doc_id % 7)
+                            || '.com/banner/' || doc_id
+                       WHEN doc_id % 5 = 1 THEN 'https://cdn.media' || (doc_id % 9)
+                            || '.example.org/asset/' || doc_id
+                       WHEN doc_id % 5 = 2 THEN 'https://host' || (doc_id % 20)
+                            || '.example.com/casino-bonus/' || doc_id
+                       WHEN doc_id % 5 = 3 THEN 'https://blog.example.net/post/'
+                            || doc_id || '?download=free'
+                       ELSE 'https://host' || (doc_id % 20)
+                            || '.example.com/doc/' || doc_id
+                     END AS url
+              FROM documents),
+            h AS (SELECT doc_id, url,
+                         regexp_extract(url, '^https://([^/]+)/', 1) AS host
+                  FROM u),
+            f AS (SELECT doc_id, url, host,
+                         len(list_filter(
+                               ['tracker0.com', 'tracker1.com', 'tracker2.com',
+                                'tracker3.com', 'blog.example.net'],
+                               b -> host = b OR ends_with(host, '.' || b))) > 0
+                           AS domain_blocked,
+                         round(CASE WHEN contains(lower(url), 'bonus') THEN 0.5 ELSE 0 END
+                               + CASE WHEN contains(lower(url), 'casino') THEN 1.0 ELSE 0 END
+                               + CASE WHEN contains(lower(url), 'download') THEN 0.4 ELSE 0 END
+                               + CASE WHEN contains(lower(url), 'free') THEN 0.4 ELSE 0 END,
+                               6) AS url_score
+                  FROM h)
+            SELECT doc_id, url, host, domain_blocked, url_score,
+                   NOT domain_blocked AND url_score < 0.5 AS keep
+            FROM f
         """,
     }

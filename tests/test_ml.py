@@ -1381,3 +1381,76 @@ class TestIncrementalDedup:
         ])
         rows = dedup.incremental_dedup(new, self._prior(spark)).collect()
         assert {r.status for r in rows} == {"dup_prior"}
+
+
+class TestUrlQualityFilter:
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame([
+            Row(url="https://ads.tracker1.com/banner/1"),
+            Row(url="https://tracker1.com/x"),
+            Row(url="https://nottracker1.com/x"),
+            Row(url="https://host3.example.com/casino-bonus/9"),
+            Row(url="https://blog.example.net/post/7?download=free"),
+            Row(url="https://clean.example.org/doc/5"),
+            Row(url="not a url"),
+        ])
+
+    def test_subdomain_blocking_and_scores(self, spark):
+        from hydra_spark.ml.urlfilter import url_quality_filter
+
+        rows = {
+            r.url: r
+            for r in url_quality_filter(
+                self._df(spark), ["tracker1.com", "spam.example.net"]
+            ).collect()
+        }
+        assert rows["https://ads.tracker1.com/banner/1"].domain_blocked
+        assert rows["https://tracker1.com/x"].domain_blocked
+        # suffix match is label-aligned: nottracker1.com is NOT blocked
+        assert not rows["https://nottracker1.com/x"].domain_blocked
+        assert rows["https://host3.example.com/casino-bonus/9"].url_score == 1.5
+        assert rows["https://blog.example.net/post/7?download=free"].url_score == 0.8
+        assert rows["https://clean.example.org/doc/5"].keep
+        # malformed URL: null host, never blocked, still scored
+        bad = rows["not a url"]
+        assert bad.host is None and not bad.domain_blocked and bad.keep
+
+    def test_dataframe_blocklist_matches_literal_path(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.ml.urlfilter import url_quality_filter
+
+        bl = ["tracker1.com", "spam.example.net"]
+        bdf = spark.createDataFrame([Row(domain=d) for d in bl])
+        a = sorted(map(tuple, url_quality_filter(self._df(spark), bl).collect()))
+        b = sorted(map(tuple, url_quality_filter(self._df(spark), bdf).collect()))
+        assert a == b
+
+    def test_dataframe_path_is_shuffle_free(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.ml.urlfilter import url_quality_filter
+
+        bdf = spark.createDataFrame([Row(domain="tracker1.com")])
+        plan = (
+            url_quality_filter(self._df(spark), bdf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the only shuffle allowed is the blocklist-side distinct (keyed
+        # on _bd, tiny); the URL side must reach the joins unshuffled
+        assert "Exchange hashpartitioning(url" not in plan
+        assert "Exchange hashpartitioning(host" not in plan
+        assert "Exchange hashpartitioning(_s" not in plan
+
+    def test_threshold_and_custom_weights(self, spark):
+        from hydra_spark.ml.urlfilter import url_quality_filter
+
+        out = url_quality_filter(
+            self._df(spark), [], keyword_weights={"banner": 0.3}, threshold=0.3
+        )
+        rows = {r.url: r.keep for r in out.collect()}
+        assert not rows["https://ads.tracker1.com/banner/1"]
+        assert rows["https://clean.example.org/doc/5"]
