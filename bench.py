@@ -172,6 +172,22 @@ def main() -> None:
             "embedding_near_dups": lambda: dedup.embedding_near_dups(
                 emb, n_planes=12, max_bucket=200
             ),
+            # round-4 curation additions (production configs: hashed
+            # keys, full-size default vocab caps)
+            "duplicate_spans": lambda: webtext.duplicate_spans(docs, n=5, min_count=2),
+            "gopher_quality": lambda: webtext.gopher_quality_flags(docs),
+            "quality_classifier": lambda: webtext.nb_quality_classifier(
+                docs, docs.where("lang = 'en'")
+            ),
+            "leakage_splits": lambda: webtext.leakage_safe_splits(docs),
+            "incremental_dedup": lambda: dedup.incremental_dedup(
+                docs.where("source <> 'src0'"),
+                docs.where("source = 'src0'").select(
+                    F.md5(dedup.normalized("text")).alias("digest")
+                ),
+            ),
+            "html_extract": lambda: q["html_extract"](spark, sf_dir),
+            "url_filter": lambda: q["url_filter"](spark, sf_dir),
         }
         for name, fn in hot.items():
             t0 = time.time()
