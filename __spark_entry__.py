@@ -1056,6 +1056,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_c4_quality(spark, sf):  # webtext: Raffel et al. §2.2 line+page rules
+        from hydra_spark.ml import webtext
+
+        d = F.col("doc_id")
+        planted = F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0,
+                   F.lit("\nthis short line has javascript in it.")).otherwise(F.lit("")),
+            F.when(d % 4 == 0,
+                   F.lit("\na good line with plenty of words ends properly.")).otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.lit("\nno terminal punctuation here at all")).otherwise(F.lit("")),
+            F.when(d % 7 == 0,
+                   F.lit("\nlorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+            F.when(d % 11 == 0,
+                   F.lit("\nfunction() { return 1; }")).otherwise(F.lit("")),
+        )
+        docs = _t(spark, sf, "documents").select("doc_id", planted.alias("text"))
+        return webtext.c4_quality_flags(docs)
+
     def q_url_filter(spark, sf):  # RefinedWeb-style URL gate (blocklist + keywords)
         from hydra_spark.ml.urlfilter import url_quality_filter
 
@@ -1176,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "html_extract": q_html_extract,
         "url_filter": q_url_filter,
+        "c4_quality": q_c4_quality,
         "claim_cap": q_claim_cap,
     }
 
@@ -2135,5 +2156,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, domain_blocked, url_score,
                    NOT domain_blocked AND url_score < 0.5 AS keep
             FROM f
+        """,
+        # C4 line/page rules over the same planted multi-line grammar
+        "c4_quality": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'this short line has javascript in it.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'a good line with plenty of words ends properly.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'no terminal punctuation here at all'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN chr(10) || 'function() { return 1; }'
+                             ELSE '' END AS text
+              FROM documents),
+            l AS (SELECT doc_id, text,
+                         regexp_split_to_array(text, chr(10)) AS lines
+                  FROM p),
+            k AS (SELECT doc_id, text, lines,
+                         list_filter(lines, x ->
+                            regexp_matches(x, '[.!?"]\s*$')
+                            AND (CASE WHEN trim(x) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(x), '\s+')) END) >= 5
+                            AND NOT contains(lower(x), 'javascript')) AS kept
+                  FROM l),
+            c AS (SELECT doc_id, text, lines, kept,
+                         -- array_to_string([]) is NULL in DuckDB but '' in Spark
+                         coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+                  FROM k)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept_lines,
+                   CAST(len(regexp_extract_all(text_clean, '[.!?]')) AS INT) AS n_sentences,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                   contains(text, '{') AS has_curly_brace,
+                   regexp_matches(lower(text), '\b(porn|xxx|fuck|shit)\b') AS has_badword,
+                   len(regexp_extract_all(text_clean, '[.!?]')) >= 3
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(text, '{')
+                     AND NOT regexp_matches(lower(text), '\b(porn|xxx|fuck|shit)\b')
+                     AS passes_c4,
+                   text_clean
+            FROM c
         """,
     }

@@ -176,6 +176,7 @@ def main() -> None:
             # keys, full-size default vocab caps)
             "duplicate_spans": lambda: webtext.duplicate_spans(docs, n=5, min_count=2),
             "gopher_quality": lambda: webtext.gopher_quality_flags(docs),
+            "c4_quality": lambda: webtext.c4_quality_flags(docs),
             "quality_classifier": lambda: webtext.nb_quality_classifier(
                 docs, docs.where("lang = 'en'")
             ),

@@ -60,6 +60,7 @@ __all__ = [
     "corpus_token_stats",
     "pack_sequences",
     "gopher_quality_flags",
+    "c4_quality_flags",
 ]
 
 
@@ -757,3 +758,77 @@ def gopher_quality_flags(
     out = out.select("*", *[v.alias(k) for k, v in flags.items()])
     passes = reduce(lambda a, b: a & b, [F.col(k) for k in flags])
     return out.withColumn("passes_gopher", passes)
+
+
+_C4_BADWORDS = ("porn", "xxx", "fuck", "shit")
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = _C4_BADWORDS,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) — the other
+    canonical heuristic gate next to Gopher's. C4 is line-REWRITING
+    plus page-level drops:
+
+    line level (kept lines form ``text_clean``):
+    - line ends in terminal punctuation (. ! ? or closing quote)
+    - line has at least ``min_line_words`` words
+    - line does not contain the word "javascript"
+
+    page level:
+    - at least ``min_sentences`` sentences survive (sentence proxy:
+      terminal-punctuation marks in the cleaned text)
+    - no "lorem ipsum", no curly brace, no bad word (word-aligned)
+
+    Pure array/lambda expressions — no UDF, no shuffle; the line
+    filter is a `filter()` over the split array inside one codegen
+    stage, so at 100 TB this is scan-bound.
+
+    Returns (id_col, n_lines, n_kept_lines, n_sentences,
+    has_lorem_ipsum, has_curly_brace, has_badword, passes_c4,
+    text_clean).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+
+    def line_ok(l):
+        trimmed = F.trim(l)
+        return (
+            l.rlike(r'[.!?"]\s*$')
+            & (F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+               >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    text_clean = F.array_join(kept, "\n")
+    low = F.lower(t)
+    bad = reduce(
+        lambda a, b: a | b,
+        [low.rlike(rf"\b{w}\b") for w in badwords],
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.coalesce(F.regexp_count(text_clean, F.lit(r"[.!?]")), F.lit(0)).alias("n_sentences"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        t.contains("{").alias("has_curly_brace"),
+        bad.alias("has_badword"),
+        text_clean.alias("text_clean"),
+    )
+    passes = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_badword")
+    )
+    return out.select(
+        id_col, "n_lines", "n_kept_lines", "n_sentences", "has_lorem_ipsum",
+        "has_curly_brace", "has_badword", passes.alias("passes_c4"), "text_clean",
+    )

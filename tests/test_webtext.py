@@ -475,3 +475,58 @@ class TestGopherQualityFlags:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestC4QualityFlags:
+    def test_line_filtering(self, spark):
+        text = "\n".join([
+            "this line ends with a period and enough words.",
+            "no terminal punctuation so dropped entirely",
+            "short line.",
+            "a javascript mention drops this line outright.",
+            'a quoted ending line with plenty of words here."',
+        ])
+        [r] = webtext.c4_quality_flags(_docs(spark, [text])).collect()
+        assert r.n_lines == 5 and r.n_kept_lines == 2
+        assert r.text_clean.splitlines() == [
+            "this line ends with a period and enough words.",
+            'a quoted ending line with plenty of words here."',
+        ]
+
+    def test_page_level_drops(self, spark):
+        good = "one good sentence here today. another fine sentence follows it. "\
+               "and a third one closes the doc."
+        rows = {
+            r.doc_id: r
+            for r in webtext.c4_quality_flags(
+                _docs(spark, [
+                    good,
+                    good + "\nlorem ipsum dolor sit amet is boilerplate filler.",
+                    good + "\nthis code sample has a brace { in it somewhere.",
+                    good.replace("another", "porn"),
+                    "too few words here.",
+                ])
+            ).collect()
+        }
+        assert rows[0].passes_c4
+        assert rows[1].has_lorem_ipsum and not rows[1].passes_c4
+        assert rows[2].has_curly_brace and not rows[2].passes_c4
+        assert rows[3].has_badword and not rows[3].passes_c4
+        # page with < 3 surviving sentences fails
+        assert rows[4].n_sentences < 3 and not rows[4].passes_c4
+
+    def test_badword_is_word_aligned(self, spark):
+        # 'xxxl' must NOT match the badword 'xxx'
+        text = "a shirt sized xxxl is mentioned in this sentence here. " \
+               "second sentence is fine too. third one closes it."
+        [r] = webtext.c4_quality_flags(_docs(spark, [text])).collect()
+        assert not r.has_badword and r.passes_c4
+
+    def test_empty_and_shuffle_free(self, spark):
+        [r] = webtext.c4_quality_flags(_docs(spark, [""])).collect()
+        assert r.n_kept_lines == 0 and r.text_clean == "" and not r.passes_c4
+        plan = (
+            webtext.c4_quality_flags(_docs(spark, ["x"]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
