@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from hydra_spark.ml.dedup import exact_duplicates, minhash_dedup_cc, normalized
 from hydra_spark.ml.text import language_id, quality_features
-from hydra_spark.ml.webtext import repetition_features, unigram_lm_score
+from hydra_spark.ml.webtext import (
+    c4_passes,
+    gopher_passes,
+    repetition_features,
+    unigram_lm_score,
+)
 
 
 def curate(
@@ -31,6 +36,8 @@ def curate(
     near_dedup_threshold: float = 0.8,
     max_dup_chunk_frac: float | None = None,
     max_lm_score: float | None = None,
+    gopher_rules: bool = False,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """The curated corpus: quality-scored, language-gated, deduplicated
     rows with their features attached (drop them with a select).
@@ -52,6 +59,12 @@ def curate(
         (F.col("quality_score") >= min_quality)
         & F.col("lang_detected").isin(*languages)
     )
+    # the named published gates are row-local boolean expressions —
+    # they run inside the same scan stage as the cheap gates above
+    if gopher_rules:
+        gated = gated.where(gopher_passes(text_col))
+    if c4_rules:
+        gated = gated.where(c4_passes(text_col))
     if max_dup_chunk_frac is not None:
         rep = repetition_features(gated, text_col, id_col=id_col).select(
             id_col, "dup_chunk_frac", "top_2gram_char_frac"

@@ -60,7 +60,9 @@ __all__ = [
     "corpus_token_stats",
     "pack_sequences",
     "gopher_quality_flags",
+    "gopher_passes",
     "c4_quality_flags",
+    "c4_passes",
 ]
 
 
@@ -710,54 +712,89 @@ def gopher_quality_flags(
     past any scan. Returns one row per doc with the measured features,
     the seven flags, and ``passes_gopher`` = AND of all seven.
     """
-    t = F.col(text_col)
+    feats = _gopher_feature_exprs(F.col(text_col))
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in feats.items()])
+    flags = _gopher_flag_exprs(
+        {k: F.col(k) for k in feats},
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+        min_alpha_word_frac, min_stopwords,
+    )
+    out = out.select("*", *[v.alias(k) for k, v in flags.items()])
+    passes = reduce(lambda a, b: a & b, [F.col(k) for k in flags])
+    return out.withColumn("passes_gopher", passes)
+
+
+def _gopher_feature_exprs(t: Column) -> dict[str, Column]:
     words = F.split(F.lower(F.trim(t)), r"\s+")
     n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
     lines = F.split(t, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
-
     char_total = F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x))
-    mean_word_len = F.round(char_total / safe_words, 6)
     n_symbols = F.coalesce(F.regexp_count(t, F.lit(r"#|\.\.\.|…")), F.lit(0))
-    symbol_ratio = F.round(n_symbols / safe_words, 6)
-    bullet_frac = F.round(
-        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•‣▪\-\*]"))) / n_lines, 6
-    )
-    ellipsis_frac = F.round(
-        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines, 6
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / safe_words, 6
-    )
     n_stop = reduce(
         lambda a, b: a + b,
         [F.array_contains(words, s).cast("int") for s in _GOPHER_STOPWORDS],
     )
-
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.cast("int").alias("n_required_stopwords"),
-    )
-    flags = {
-        "flag_word_count": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
-        "flag_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "flag_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
-        "flag_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
-        "flag_ellipsis_lines": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
-        "flag_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
-        "flag_stopwords": F.col("n_required_stopwords") >= min_stopwords,
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(char_total / safe_words, 6),
+        "symbol_word_ratio": F.round(n_symbols / safe_words, 6),
+        "bullet_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[•‣▪\-\*]"))) / n_lines, 6
+        ),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines, 6
+        ),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / safe_words, 6
+        ),
+        "n_required_stopwords": n_stop.cast("int"),
     }
-    out = out.select("*", *[v.alias(k) for k, v in flags.items()])
-    passes = reduce(lambda a, b: a & b, [F.col(k) for k in flags])
-    return out.withColumn("passes_gopher", passes)
+
+
+def _gopher_flag_exprs(
+    f: dict[str, Column],
+    min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_word_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+    min_alpha_word_frac, min_stopwords,
+) -> dict[str, Column]:
+    return {
+        "flag_word_count": (f["n_words"] >= min_words) & (f["n_words"] <= max_words),
+        "flag_mean_word_len": (f["mean_word_len"] >= min_mean_word_len)
+        & (f["mean_word_len"] <= max_mean_word_len),
+        "flag_symbol_ratio": f["symbol_word_ratio"] <= max_symbol_word_ratio,
+        "flag_bullet_lines": f["bullet_line_frac"] <= max_bullet_line_frac,
+        "flag_ellipsis_lines": f["ellipsis_line_frac"] <= max_ellipsis_line_frac,
+        "flag_alpha_words": f["alpha_word_frac"] >= min_alpha_word_frac,
+        "flag_stopwords": f["n_required_stopwords"] >= min_stopwords,
+    }
+
+
+def gopher_passes(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> Column:
+    """``passes_gopher`` as a single boolean Column — for use as a
+    WHERE predicate inside a larger pipeline (`pipeline.curate`), where
+    it stays a row-local expression: no join, no shuffle, pushes down
+    into the scan."""
+    flags = _gopher_flag_exprs(
+        _gopher_feature_exprs(F.col(text_col)),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+        min_alpha_word_frac, min_stopwords,
+    )
+    return reduce(lambda a, b: a & b, flags.values())
 
 
 _C4_BADWORDS = ("porn", "xxx", "fuck", "shit")
@@ -793,7 +830,30 @@ def c4_quality_flags(
     has_lorem_ipsum, has_curly_brace, has_badword, passes_c4,
     text_clean).
     """
-    t = F.col(text_col)
+    e = _c4_exprs(F.col(text_col), min_line_words, badwords)
+    out = df.select(
+        F.col(id_col),
+        e["n_lines"].alias("n_lines"),
+        e["n_kept_lines"].alias("n_kept_lines"),
+        e["n_sentences"].alias("n_sentences"),
+        e["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+        e["has_curly_brace"].alias("has_curly_brace"),
+        e["has_badword"].alias("has_badword"),
+        e["text_clean"].alias("text_clean"),
+    )
+    passes = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & ~F.col("has_badword")
+    )
+    return out.select(
+        id_col, "n_lines", "n_kept_lines", "n_sentences", "has_lorem_ipsum",
+        "has_curly_brace", "has_badword", passes.alias("passes_c4"), "text_clean",
+    )
+
+
+def _c4_exprs(t: Column, min_line_words: int, badwords: tuple[str, ...]) -> dict[str, Column]:
     lines = F.split(t, r"\n")
 
     def line_ok(l):
@@ -808,27 +868,31 @@ def c4_quality_flags(
     kept = F.filter(lines, line_ok)
     text_clean = F.array_join(kept, "\n")
     low = F.lower(t)
-    bad = reduce(
-        lambda a, b: a | b,
-        [low.rlike(rf"\b{w}\b") for w in badwords],
-    )
-    out = df.select(
-        F.col(id_col),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept_lines"),
-        F.coalesce(F.regexp_count(text_clean, F.lit(r"[.!?]")), F.lit(0)).alias("n_sentences"),
-        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
-        t.contains("{").alias("has_curly_brace"),
-        bad.alias("has_badword"),
-        text_clean.alias("text_clean"),
-    )
-    passes = (
-        (F.col("n_sentences") >= min_sentences)
-        & ~F.col("has_lorem_ipsum")
-        & ~F.col("has_curly_brace")
-        & ~F.col("has_badword")
-    )
-    return out.select(
-        id_col, "n_lines", "n_kept_lines", "n_sentences", "has_lorem_ipsum",
-        "has_curly_brace", "has_badword", passes.alias("passes_c4"), "text_clean",
+    return {
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.size(kept),
+        "n_sentences": F.coalesce(F.regexp_count(text_clean, F.lit(r"[.!?]")), F.lit(0)),
+        "has_lorem_ipsum": low.contains("lorem ipsum"),
+        "has_curly_brace": t.contains("{"),
+        "has_badword": reduce(lambda a, b: a | b, [low.rlike(rf"\b{w}\b") for w in badwords]),
+        "text_clean": text_clean,
+    }
+
+
+def c4_passes(
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: tuple[str, ...] = _C4_BADWORDS,
+) -> Column:
+    """``passes_c4`` as a single boolean Column (see `gopher_passes`):
+    a row-local WHERE predicate for composed pipelines — no join, no
+    shuffle. Note C4 proper also REWRITES the doc to its kept lines;
+    use `c4_quality_flags().text_clean` when the rewrite matters."""
+    e = _c4_exprs(F.col(text_col), min_line_words, badwords)
+    return (
+        (e["n_sentences"] >= min_sentences)
+        & ~e["has_lorem_ipsum"]
+        & ~e["has_curly_brace"]
+        & ~e["has_badword"]
     )

@@ -530,3 +530,40 @@ class TestC4QualityFlags:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+
+class TestGatePredicates:
+    def test_predicates_match_flag_columns(self, spark):
+        texts = [
+            "the cat sat to be of and that have with " + "word " * 60,
+            "• one\n• two",
+            "",
+            "one good sentence sits here today. another fine one follows. "
+            "and a third closes it.",
+            "function() { return 1; }",
+        ]
+        df = _docs(spark, texts)
+        g = df.select(
+            "doc_id", webtext.gopher_passes("text").alias("p")
+        ).join(webtext.gopher_quality_flags(df).select("doc_id", "passes_gopher"), "doc_id")
+        assert g.where("p <> passes_gopher").count() == 0
+        c = df.select(
+            "doc_id", webtext.c4_passes("text").alias("p")
+        ).join(webtext.c4_quality_flags(df).select("doc_id", "passes_c4"), "doc_id")
+        assert c.where("p <> passes_c4").count() == 0
+
+    def test_curate_applies_named_gates(self, spark):
+        from hydra_spark.ml.pipeline import curate
+
+        good = ("the cat sat to be of and that have with plenty more words. "
+                "a second real sentence follows it for the count. "
+                + ("word " * 50).strip() + " and a third one closes it.")
+        df = _docs(spark, [good, good + " lorem ipsum filler appended."])
+        base = {r.doc_id for r in curate(df, min_quality=0.0).collect()}
+        got = {
+            r.doc_id
+            for r in curate(df, min_quality=0.0, gopher_rules=True, c4_rules=True).collect()
+        }
+        assert base == {0, 1}
+        # gates keep the clean doc, drop the lorem-ipsum one
+        assert got == {0}
