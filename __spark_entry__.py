@@ -1056,6 +1056,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_link_extract(spark, sf):  # §2.4 growth: href extraction + resolution
+        from hydra_spark.crawl.discover import extract_links
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        base = F.concat(
+            F.lit("https://host"), (d % 20).cast("string"), F.lit(".example.com/dir"),
+            (d % 3).cast("string"), F.lit("/doc"), ds, F.lit(".html"),
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext'), (d % 5).cast("string"),
+            F.lit(".example.org/page/"), ds, F.lit('">x</a>'),
+            F.lit('<a href="/rel/'), ds, F.lit('">x</a>'),
+            F.lit('<a href="//cdn'), (d % 3).cast("string"),
+            F.lit(".example.net/a/"), ds, F.lit('">x</a>'),
+            F.lit('<a href="sub/'), ds, F.lit('">x</a>'),
+            F.lit('<a href="#frag">x</a><a href="mailto:u'), ds,
+            F.lit('@example.org">x</a></body></html>'),
+        )
+        docs = _t(spark, sf, "documents").select(
+            base.alias("url"), F.encode(html, "UTF-8").alias("html")
+        )
+        return extract_links(docs)
+
     def q_c4_quality(spark, sf):  # webtext: Raffel et al. §2.2 line+page rules
         from hydra_spark.ml import webtext
 
@@ -1197,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "url_filter": q_url_filter,
         "c4_quality": q_c4_quality,
+        "link_extract": q_link_extract,
         "claim_cap": q_claim_cap,
     }
 
@@ -2206,5 +2231,23 @@ def oracle_sql() -> dict[str, str]:
                      AS passes_c4,
                    text_clean
             FROM c
+        """,
+        # href-grammar replay: 4 resolvable links per doc (absolute,
+        # root-relative, protocol-relative, directory-relative), the
+        # fragment/mailto hrefs drop; the oracle rebuilds the resolved+
+        # canonicalized set from doc_id arithmetic
+        "link_extract": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     'https://host' || (doc_id % 20) || '.example.com/dir'
+                       || (doc_id % 3) || '/doc' || doc_id || '.html' AS url
+              FROM documents)
+            SELECT url,
+                   unnest(['https://ext' || (doc_id % 5) || '.example.org/page/' || doc_id,
+                           'https://host' || (doc_id % 20) || '.example.com/rel/' || doc_id,
+                           'https://cdn' || (doc_id % 3) || '.example.net/a/' || doc_id,
+                           'https://host' || (doc_id % 20) || '.example.com/dir'
+                             || (doc_id % 3) || '/sub/' || doc_id]) AS link
+            FROM b
         """,
     }

@@ -68,6 +68,12 @@ class HydraConfig:
     webhook_outbox: bool = True
     validate_then_detect: bool = True
 
+    # link discovery (Common-Crawl-style frontier growth; off by default
+    # — the reference's frontier is the fixed udata catalog)
+    discover_links: bool = False
+    max_links_per_page: int = 1000
+    discover_same_host_only: bool = False
+
     def with_(self, **kw) -> "HydraConfig":
         return replace(self, **kw)
 

@@ -1,0 +1,141 @@
+"""Link discovery: href extraction from fetched pages + frontier
+expansion — the piece that turns the reference's fixed-catalog crawler
+into a Common-Crawl-style web crawler. The reference's frontier is the
+udata catalog (rows arrive via CSV load / webhook, never from page
+content — crawl/check_resources.py only consumes the catalog); at
+10^10-URL web scale the frontier must GROW from what the crawler
+fetches. Discovery is the standard loop: extract hrefs → resolve
+against the base URL → canonicalize → dedup against the frontier →
+enqueue.
+
+Scale design:
+- extraction/resolution/canonicalization is pure JVM expression work
+  (regexp_extract_all + transform/filter lambdas) — zero Python, zero
+  shuffle, fused into the fetch round's scan.
+- enqueue dedup is ONE left_anti join keyed on resource_id
+  (md5(canonical url)) — only the NEW links shuffle; the frontier side
+  is already bucketed by the store. At 10^10 the sharded Bloom seen-set
+  (hydra_spark.seen) prefilters candidates so the anti-join sees a
+  fraction of the raw links; the join stays as the exact verifier
+  (same pattern as ml.dedup.incremental_dedup).
+- per-page link caps bound the explode (a spam page with 10^6 hrefs
+  must not dominate a task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hydra_spark.functions.urls import canonicalize_url, host_bucket
+
+__all__ = ["extract_links", "discover_frontier"]
+
+_HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
+_ABS_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_links_per_page: int = 1000,
+    same_host_only: bool = False,
+) -> DataFrame:
+    """(url, link) rows: every href in the fetched HTML, resolved and
+    canonicalized — entirely in JVM expressions.
+
+    Resolution: absolute http(s) kept; ``//host/p`` inherits the base
+    scheme; ``/p`` is root-relative; ``p`` joins the base directory
+    (no ``../`` normalization — canonical web corpora treat those as
+    distinct URLs anyway); fragments and non-http schemes
+    (mailto/javascript/data/ftp) are dropped. Per-page distinct, capped
+    at ``max_links_per_page`` (slice after distinct — deterministic,
+    bounds the explode against link-spam pages).
+    """
+    html_str = F.col(html_col).cast("string")
+    base = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?]+)", 1))
+    path = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]+(/[^?]*)?", 1)
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+
+    def resolve(l):
+        l = F.trim(l)
+        return (
+            F.when(l.startswith("#"), F.lit(None).cast("string"))
+            .when(l.rlike("^https?://"), l)
+            .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+            .when(l.rlike(_ABS_RE), F.lit(None).cast("string"))  # mailto:, javascript:, ftp:, data:
+            .when(l.startswith("/"), F.concat(scheme, F.lit("://"), host, l))
+            .otherwise(F.concat(scheme, F.lit("://"), host, basedir, l))
+        )
+
+    raw = F.regexp_extract_all(html_str, F.lit(_HREF_RE), 1)
+    links = F.transform(raw, resolve)
+    links = F.filter(links, lambda x: x.isNotNull())
+    links = F.transform(links, lambda x: canonicalize_url(x))
+    if same_host_only:
+        links = F.filter(
+            links,
+            lambda x: F.lower(
+                F.regexp_extract(x, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?]+)", 1)
+            ) == host,
+        )
+    links = F.slice(F.array_sort(F.array_distinct(links)), 1, max_links_per_page)
+    # two projections: an output alias "url" would shadow the input
+    # column the link expressions reference (lateral-alias conflict)
+    staged = df.select(base.alias("_src_url"), links.alias("_links"))
+    return staged.select(
+        F.col("_src_url").alias("url"), F.explode("_links").alias("link")
+    )
+
+
+def discover_frontier(
+    frontier: DataFrame,
+    links: DataFrame,
+    cfg=None,
+    link_col: str = "link",
+) -> DataFrame:
+    """New frontier rows for links not already enqueued: resource_id =
+    UUID-shaped md5(canonical url) (the frontier's unique key, same
+    derivation as the catalog seed), non-priority, type 'discovered',
+    host-bucketed for the salted claim path. ONE left_anti join on
+    resource_id — only the (already per-page-distinct) links shuffle.
+    Append the result to the frontier store to enqueue."""
+    from hydra_spark.config import DEFAULT
+
+    cfg = cfg or DEFAULT
+    h = F.md5(F.col("url"))
+    rid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+        F.substring(h, 17, 4), F.substring(h, 21, 12),
+    )
+    cand = (
+        links.select(F.col(link_col).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.lit(None).cast("string").alias("dataset_id"),
+            rid.alias("resource_id"),
+            F.col("url"),
+            F.lit(False).alias("deleted"),
+            F.lit(None).cast("long").alias("last_check"),
+            F.lit(False).alias("priority"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("timestamp").alias("status_since"),
+            F.lit(None).cast("timestamp").alias("harvest_modified_at"),
+            F.lit("discovered").alias("type"),
+            F.lit(None).cast("string").alias("format"),
+            F.lit(None).cast("string").alias("title"),
+            host_bucket("url", cfg.frontier_buckets).alias("host_bucket"),
+        )
+    )
+    seen = frontier.select("resource_id").distinct()
+    out = cand.join(seen, "resource_id", "left_anti")
+    # the join key moves first — restore frontier column order
+    from hydra_spark.schemas import FRONTIER_SCHEMA
+
+    return out.select(*[f.name for f in FRONTIER_SCHEMA.fields])

@@ -311,6 +311,31 @@ def run_round(
     store.frontier.append_delta(updates.withColumn("_upd_at", now_ts), round_id=round_id)
     _mark("frontier_write")
 
+    # ---- link discovery (Common-Crawl-style frontier growth) -----------
+    # hrefs from this round's fetched pages become next-round frontier
+    # rows: JVM-only extraction, anti-join against the frontier read
+    # this round already did, appended as MoR INSERT files
+    n_discovered = 0
+    if cfg.discover_links:
+        from hydra_spark.crawl.discover import discover_frontier, extract_links
+
+        fetched_ok = cur.where(
+            F.col("html").isNotNull()
+            & F.col("status").isNotNull()
+            & (F.col("status") < 400)
+        ).select("url", "html")
+        links = extract_links(
+            fetched_ok,
+            max_links_per_page=cfg.max_links_per_page,
+            same_host_only=cfg.discover_same_host_only,
+        )
+        new_rows = discover_frontier(frontier, links, cfg).persist()
+        n_discovered = new_rows.count()
+        if n_discovered:
+            store.frontier.append_inserts(new_rows, round_id)
+        new_rows.unpersist()
+        _mark("discover_write")
+
     # ---- per-partition lineage + fetch metrics (north rule) ------------
     metrics = cur.groupBy("host_bucket", "domain").agg(
         F.lit(round_id).alias("round_id"),
@@ -341,6 +366,7 @@ def run_round(
         "n_checked": n_checked,
         "n_backoff": n_held,
         "n_robots_blocked": n_robots,
+        "n_discovered": n_discovered,
         "wall_s": round(wall, 3),
         "urls_per_s": round(n_checked / wall, 2) if wall > 0 else None,
         "timings": timings,

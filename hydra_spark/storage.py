@@ -256,6 +256,10 @@ class FrontierTable:
     def __init__(self, root: str, name: str = "frontier"):
         self.base = SnapshotTable(root, f"{name}_base")
         self.deltas = AppendLog(root, f"{name}_delta")
+        # INSERT files (Iceberg append analog): discovered-URL rows in
+        # full frontier schema; read() unions them under the base before
+        # update deltas apply, compact() folds them into the base
+        self.inserts = AppendLog(root, f"{name}_insert")
 
     def exists(self) -> bool:
         return self.base.exists()
@@ -266,8 +270,10 @@ class FrontierTable:
     def commit(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
         """Full-rewrite commit (catalog upsert / init): supersedes any
         pending deltas — the caller's df was produced from read(), so
-        delta effects are already folded in."""
-        sid = self.base.commit(df, round_id=round_id, meta=meta)
+        delta effects (and pending inserts) are already folded in."""
+        ins_ids = [b["id"] for b in self.inserts.manifest()["batches"]]
+        full_meta = {**(meta or {}), "folded_insert_batches": ins_ids}
+        sid = self.base.commit(df, round_id=round_id, meta=full_meta)
         self._clear_deltas()
         return sid
 
@@ -281,6 +287,12 @@ class FrontierTable:
         ]
         m["batches"] = []
         _write_manifest(self.deltas.manifest_path, m)
+        mi = self.inserts.manifest()
+        mi["superseded"] = mi.get("superseded", []) + [
+            {**b, "superseded_ts": now} for b in mi["batches"]
+        ]
+        mi["batches"] = []
+        _write_manifest(self.inserts.manifest_path, mi)
 
     def manifest(self) -> dict:
         return self.base.manifest()
@@ -291,11 +303,34 @@ class FrontierTable:
 
         self.deltas.append(updates.withColumn("_delta_round", F.lit(round_id)), round_id)
 
+    def append_inserts(self, rows: DataFrame, round_id: int) -> None:
+        """NEW frontier rows (full frontier schema) — link discovery's
+        enqueue path. Pure append; dedup against existing rows is the
+        caller's anti-join (crawl/discover.discover_frontier)."""
+        self.inserts.append(rows, round_id)
+
+    def _live_insert_paths(self) -> list[str]:
+        """Insert batches not yet folded into the current base. Unlike
+        update deltas (idempotent to re-apply), re-reading a folded
+        insert would DUPLICATE rows — so compact()/commit() record the
+        folded batch ids in the base snapshot meta, making the
+        crash window between base-commit and manifest-clear safe."""
+        if not self.inserts.exists():
+            return []
+        snap = self.base.current_snapshot() or {}
+        folded = set(snap.get("meta", {}).get("folded_insert_batches", []))
+        return [
+            b["path"] for b in self.inserts.manifest()["batches"] if b["id"] not in folded
+        ]
+
     def read(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         base = self.base.read(spark)
+        live_inserts = self._live_insert_paths()
+        if live_inserts:
+            base = base.unionByName(spark.read.parquet(*live_inserts))
         if not self.deltas.exists():
             return base
         d = self.deltas.read(spark)
@@ -346,17 +381,26 @@ class FrontierTable:
         and the delta clear is harmless because re-applying an
         already-folded delta is idempotent (same last_check/status/
         priority values)."""
+        ins_ids = [b["id"] for b in self.inserts.manifest()["batches"]]
         merged = self.read(spark)
-        self.base.commit(merged, round_id=round_id, meta={"op": "compact"})
+        self.base.commit(
+            merged,
+            round_id=round_id,
+            meta={"op": "compact", "folded_insert_batches": ins_ids},
+        )
         self._clear_deltas()
 
     def prune_after_round(self, last_round: int) -> int:
-        return self.base.prune_after_round(last_round) + self.deltas.prune_after_round(last_round)
+        return (
+            self.base.prune_after_round(last_round)
+            + self.deltas.prune_after_round(last_round)
+            + self.inserts.prune_after_round(last_round)
+        )
 
     def gc(self, min_age_s: float = 3600.0) -> int:
         """Collect delta dirs orphaned by compact()/commit() clearing the
         delta manifest (the dirs themselves are left for open readers)."""
-        return self.deltas.gc(min_age_s)
+        return self.deltas.gc(min_age_s) + self.inserts.gc(min_age_s)
 
 
 @dataclass

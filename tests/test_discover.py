@@ -1,0 +1,199 @@
+"""Link discovery (crawl/discover.py): href extraction, frontier
+enqueue dedup, MoR insert files, and the discovery-enabled crawl loop."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hydra_spark.config import DEFAULT
+from hydra_spark.crawl.discover import discover_frontier, extract_links
+from hydra_spark.schemas import FRONTIER_SCHEMA
+
+
+def _page(spark, url, html):
+    return spark.createDataFrame([Row(url=url, html=html)])
+
+
+class TestExtractLinks:
+    BASE = "https://host1.example.com/dir/doc.html"
+
+    def _links(self, spark, html, **kw):
+        df = _page(spark, self.BASE, html if isinstance(html, bytes) else html.encode())
+        return sorted(r.link for r in extract_links(df, **kw).collect())
+
+    def test_resolution_matrix(self, spark):
+        html = (
+            '<a href="https://Ext.Example.ORG:443/Page/1#sec">a</a>'
+            "<a href='/root/2'>b</a>"
+            '<a href="//cdn.example.net/a/3">c</a>'
+            '<a href="sub/4">d</a>'
+        )
+        assert self._links(spark, html) == [
+            "https://cdn.example.net/a/3",
+            "https://ext.example.org/Page/1",
+            "https://host1.example.com/dir/sub/4",
+            "https://host1.example.com/root/2",
+        ]
+
+    def test_skips_fragments_and_non_http_schemes(self, spark):
+        html = (
+            '<a href="#frag">x</a><a href="mailto:a@b.c">x</a>'
+            '<a href="javascript:void(0)">x</a><a href="ftp://x/y">x</a>'
+            '<a href="data:text/plain,z">x</a><a href="/keep.html">y</a>'
+        )
+        assert self._links(spark, html) == ["https://host1.example.com/keep.html"]
+
+    def test_canonical_dedup_and_cap(self, spark):
+        html = (
+            '<a href="https://A.example.org/p#x">1</a>'
+            '<a href="https://a.example.org/p">2</a>'
+            '<a href="/b">3</a><a href="/c">4</a>'
+        )
+        assert len(self._links(spark, html)) == 3
+        assert len(self._links(spark, html, max_links_per_page=2)) == 2
+
+    def test_same_host_only(self, spark):
+        html = '<a href="https://other.example.org/x">1</a><a href="/local">2</a>'
+        assert self._links(spark, html, same_host_only=True) == [
+            "https://host1.example.com/local"
+        ]
+
+    def test_no_links_no_rows(self, spark):
+        assert self._links(spark, "<html><body>plain</body></html>") == []
+
+
+class TestDiscoverFrontier:
+    def test_schema_dedup_and_rid_shape(self, spark):
+        links = spark.createDataFrame(
+            [Row(url="u", link="https://a.example.org/c"),
+             Row(url="v", link="https://a.example.org/c"),
+             Row(url="u", link="https://b.example.org/d")]
+        )
+        fr = spark.createDataFrame([], FRONTIER_SCHEMA)
+        new = discover_frontier(fr, links)
+        assert [f.name for f in new.schema.fields] == [f.name for f in FRONTIER_SCHEMA.fields]
+        rows = new.collect()
+        assert len(rows) == 2  # cross-page dup collapsed
+        for r in rows:
+            assert r.type == "discovered" and not r.priority and not r.deleted
+            assert len(r.resource_id) == 36 and r.resource_id.count("-") == 4
+            assert 0 <= r.host_bucket < DEFAULT.frontier_buckets
+        # already-enqueued links are filtered by the anti-join
+        assert discover_frontier(new, links).count() == 0
+
+
+class TestFrontierInsertStore:
+    def _store_with_inserts(self, spark):
+        from hydra_spark.crawl.discover import discover_frontier
+        from hydra_spark.storage import StateStore
+
+        store = StateStore(tempfile.mkdtemp(prefix="hydra_ins_"))
+        base = spark.createDataFrame(
+            [Row(dataset_id=None, resource_id="r0", url="https://h.example.com/0",
+                 deleted=False, last_check=None, priority=False, status=None,
+                 status_since=None, harvest_modified_at=None, type=None,
+                 format=None, title=None, host_bucket=3)],
+            FRONTIER_SCHEMA,
+        )
+        store.frontier.commit(base, round_id=0)
+        links = spark.createDataFrame([Row(url="u", link="https://h.example.com/new")])
+        new = discover_frontier(store.frontier.read(spark), links)
+        store.frontier.append_inserts(new, round_id=1)
+        return store
+
+    def test_inserts_visible_and_compact_folds_once(self, spark):
+        store = self._store_with_inserts(spark)
+        assert store.frontier.read(spark).count() == 2
+        store.frontier.compact(spark, round_id=1)
+        assert store.frontier.read(spark).count() == 2
+        assert store.frontier.base.read(spark).count() == 2
+
+    def test_crash_between_fold_and_clear_does_not_duplicate(self, spark):
+        import json
+
+        store = self._store_with_inserts(spark)
+        mpath = store.frontier.inserts.manifest_path
+        before = open(mpath).read()
+        store.frontier.compact(spark, round_id=1)
+        # simulate a crash AFTER the base commit but BEFORE the insert
+        # manifest was cleared: restore the pre-compact manifest
+        open(mpath, "w").write(before)
+        assert json.load(open(mpath))["batches"]
+        # the folded ids recorded in the base snapshot meta keep the
+        # re-read from duplicating the inserted row
+        assert store.frontier.read(spark).count() == 2
+
+    def test_prune_drops_uncommitted_insert_batches(self, spark):
+        store = self._store_with_inserts(spark)  # insert appended at round 1
+        # round 1 never committed -> crash recovery prunes its inserts
+        assert store.frontier.prune_after_round(0) >= 1
+        assert store.frontier.read(spark).count() == 1
+
+
+class TestDiscoveryCrawl:
+    def _corpus(self, spark):
+        def page(i, hrefs):
+            body = "".join(f'<a href="{h}">l</a>' for h in hrefs)
+            return Row(
+                url=f"https://h{i}.example.com/p{i}",
+                html=f"<html><body><p>doc {i}</p>{body}</body></html>".encode(),
+                text=f"doc {i}",
+                lang="en",
+            )
+
+        rows = [
+            page(0, ["https://h1.example.com/p1", "https://h2.example.com/p2"]),
+            page(1, ["https://h2.example.com/p2"]),
+            page(2, []),
+        ]
+        return spark.createDataFrame(rows).withColumn(
+            "warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+        ).select("url", "warc_ts", "html", "text", "lang")
+
+    def test_frontier_grows_and_discovered_urls_get_checked(self, spark):
+        from hydra_spark.crawl import run_crawl
+        from hydra_spark.crawl.loop import init_state
+        from hydra_spark.datagen import generate_frontier
+        from hydra_spark.storage import StateStore
+
+        pages = self._corpus(spark)
+        seed = generate_frontier(spark, pages.where("url LIKE '%p0'"))
+        store = StateStore(tempfile.mkdtemp(prefix="hydra_disc_"))
+        init_state(store, seed)
+        cfg = DEFAULT.with_(discover_links=True, batch_size=10, backoff_nb_req=10**9)
+        res = run_crawl(spark, store, pages, cfg, rounds=3)
+        assert res[0]["n_checked"] == 1 and res[0]["n_discovered"] == 2
+        # round 2 claims the two discovered URLs; p1's link to p2 is
+        # already enqueued, so nothing new is discovered
+        assert res[1]["n_checked"] == 2 and res[1]["n_discovered"] == 0
+        assert res[2]["n_discovered"] == 0
+        fr = store.frontier.read(spark)
+        assert fr.count() == 3
+        assert fr.where("type = 'discovered'").count() == 2
+        checked_urls = {
+            r.url for r in store.checks.read(spark).select("url").collect()
+        }
+        assert checked_urls == {
+            "https://h0.example.com/p0",
+            "https://h1.example.com/p1",
+            "https://h2.example.com/p2",
+        }
+
+    def test_discovery_survives_resume(self, spark):
+        from hydra_spark.crawl import run_crawl
+        from hydra_spark.crawl.loop import init_state
+        from hydra_spark.datagen import generate_frontier
+        from hydra_spark.storage import StateStore
+
+        pages = self._corpus(spark)
+        seed = generate_frontier(spark, pages.where("url LIKE '%p0'"))
+        store = StateStore(tempfile.mkdtemp(prefix="hydra_disc2_"))
+        init_state(store, seed)
+        cfg = DEFAULT.with_(discover_links=True, batch_size=10, backoff_nb_req=10**9)
+        run_crawl(spark, store, pages, cfg, rounds=1)
+        # fresh process analog: a new run_crawl resumes at round 2 and
+        # sees the round-1 inserts
+        res = run_crawl(spark, store, pages, cfg, rounds=1)
+        assert res[0]["round"] == 2 and res[0]["n_checked"] == 2
