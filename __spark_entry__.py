@@ -1056,6 +1056,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_sitemap_extract(spark, sf):  # sitemap <loc> harvest, grammar replay
+        from hydra_spark.crawl.discover import extract_sitemap_urls
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        site = F.concat(F.lit("https://site"), (d % 7).cast("string"), F.lit(".example.org"))
+        xml = F.concat(
+            F.lit("<?xml version='1.0'?><urlset><url><loc> "),
+            site, F.lit("/page/"), ds, F.lit("?a=1&amp;b="), (d % 3).cast("string"),
+            F.lit(" </loc></url><url><loc>"),
+            site, F.lit("/page/"), ds, F.lit("#frag"),
+            F.lit("</loc></url><url><loc>bogus</loc></url></urlset>"),
+        )
+        docs = _t(spark, sf, "documents").select(
+            F.concat(site, F.lit("/sitemap.xml")).alias("url"),
+            F.encode(xml, "UTF-8").alias("xml"),
+        )
+        return extract_sitemap_urls(docs)
+
+    def q_warc_parse(spark, sf):  # WARC segment build + parse roundtrip
+        from hydra_spark.analysis import warc as W
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+
+        def seg(batches):
+            from datetime import datetime, timedelta
+
+            import pandas as pd
+
+            for pdf in batches:
+                recs = []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    url = f"https://host{did % 20}.example.com/doc/{did}"
+                    dt = datetime(2025, 1, 1) + timedelta(seconds=int(did * 97 % 864000))
+                    payload = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        + str(text).encode("utf-8")
+                    )
+                    recs.append(
+                        W.build_warc_record(
+                            "response", url, dt.strftime("%Y-%m-%dT%H:%M:%SZ"), payload
+                        )
+                    )
+                yield pd.DataFrame({"content": [W.build_warc(recs)]})
+
+        segs = docs.mapInPandas(seg, "content binary")
+        rec = W.warc_records(segs)
+        return rec.select(
+            "target_uri", "warc_type", "warc_date", "content_length", "http_status",
+            F.md5(F.col("body")).alias("body_md5"),
+            F.length(F.col("body")).cast("long").alias("body_len"),
+        )
+
     def q_link_extract(spark, sf):  # §2.4 growth: href extraction + resolution
         from hydra_spark.crawl.discover import extract_links
 
@@ -1222,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "c4_quality": q_c4_quality,
         "link_extract": q_link_extract,
+        "sitemap_extract": q_sitemap_extract,
+        "warc_parse": q_warc_parse,
         "claim_cap": q_claim_cap,
     }
 
@@ -2249,5 +2304,30 @@ def oracle_sql() -> dict[str, str]:
                            'https://host' || (doc_id % 20) || '.example.com/dir'
                              || (doc_id % 3) || '/sub/' || doc_id]) AS link
             FROM b
+        """,
+        # WARC roundtrip replay: the oracle reconstructs every parsed
+        # field from doc_id arithmetic + the fixed HTTP head (44 bytes:
+        # status line 17 + content-type 25 + blank 2)
+        "warc_parse": r"""
+            SELECT 'https://host' || (doc_id % 20) || '.example.com/doc/' || doc_id
+                     AS target_uri,
+                   'response' AS warc_type,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                     + to_seconds(CAST(doc_id * 97 % 864000 AS BIGINT)) AS warc_date,
+                   CAST(44 + octet_length(encode(text)) AS BIGINT) AS content_length,
+                   200 AS http_status,
+                   md5(text) AS body_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+            FROM documents
+        """,
+        # sitemap <loc> grammar replay: entity-decoded query-string loc
+        # + fragment-stripped loc survive; the bogus loc drops
+        "sitemap_extract": r"""
+            SELECT 'https://site' || (doc_id % 7) || '.example.org/sitemap.xml' AS url,
+                   unnest(['https://site' || (doc_id % 7) || '.example.org/page/'
+                             || doc_id || '?a=1&b=' || (doc_id % 3),
+                           'https://site' || (doc_id % 7) || '.example.org/page/'
+                             || doc_id]) AS loc
+            FROM documents
         """,
     }

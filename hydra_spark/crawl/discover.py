@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hydra_spark.functions.urls import canonicalize_url, host_bucket
 
-__all__ = ["extract_links", "discover_frontier"]
+__all__ = ["extract_links", "extract_sitemap_urls", "discover_frontier"]
 
 _HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
 _ABS_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
@@ -139,3 +139,31 @@ def discover_frontier(
     from hydra_spark.schemas import FRONTIER_SCHEMA
 
     return out.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def extract_sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+    max_urls_per_sitemap: int = 50_000,
+) -> DataFrame:
+    """(url, loc) rows from sitemap.xml / sitemap-index payloads — the
+    other frontier-growth source next to href discovery (robots.txt
+    points at sitemaps; the sitemaps.org protocol caps a file at 50k
+    URLs, the default here). ``<loc>`` entries are entity-decoded
+    (sitemaps XML-escape & < > " '), trimmed, canonicalized, distinct.
+    Pure JVM expressions; feed the result to `discover_frontier`."""
+    xml = F.col(xml_col).cast("string")
+
+    def decode(x):
+        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", '"'), ("&apos;", "'")):
+            x = F.replace(x, F.lit(ent), F.lit(ch))
+        return x
+
+    locs = F.regexp_extract_all(xml, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1)
+    locs = F.transform(locs, lambda x: canonicalize_url(decode(F.trim(x))))
+    locs = F.filter(locs, lambda x: x.rlike("^https?://"))
+    locs = F.slice(F.array_sort(F.array_distinct(locs)), 1, max_urls_per_sitemap)
+    staged = df.select(F.col(url_col).alias("_src_url"), locs.alias("_locs"))
+    return staged.select(F.col("_src_url").alias("url"), F.explode("_locs").alias("loc"))

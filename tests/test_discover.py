@@ -197,3 +197,102 @@ class TestDiscoveryCrawl:
         # sees the round-1 inserts
         res = run_crawl(spark, store, pages, cfg, rounds=1)
         assert res[0]["round"] == 2 and res[0]["n_checked"] == 2
+
+
+class TestExtractSitemapUrls:
+    def test_locs_decode_canonicalize_dedup(self, spark):
+        from hydra_spark.crawl.discover import extract_sitemap_urls
+
+        xml = (
+            "<?xml version='1.0'?><urlset>"
+            "<url><loc> https://A.example.org/p?a=1&amp;b=2 </loc></url>"
+            "<url><loc>https://a.example.org/p?a=1&b=2</loc></url>"
+            "<url><loc>https://a.example.org/q#frag</loc></url>"
+            "<url><loc>not-a-url</loc></url>"
+            "</urlset>"
+        ).encode()
+        df = spark.createDataFrame(
+            [Row(url="https://a.example.org/sitemap.xml", xml=xml)]
+        )
+        rows = sorted(r.loc for r in extract_sitemap_urls(df).collect())
+        assert rows == [
+            "https://a.example.org/p?a=1&b=2",
+            "https://a.example.org/q",
+        ]
+
+    def test_sitemap_index_and_cap(self, spark):
+        from hydra_spark.crawl.discover import extract_sitemap_urls
+
+        xml = (
+            "<sitemapindex>"
+            "<sitemap><loc>https://h.example.com/s1.xml</loc></sitemap>"
+            "<sitemap><loc>https://h.example.com/s2.xml</loc></sitemap>"
+            "</sitemapindex>"
+        ).encode()
+        df = spark.createDataFrame([Row(url="https://h.example.com/sitemap.xml", xml=xml)])
+        assert extract_sitemap_urls(df).count() == 2
+        assert extract_sitemap_urls(df, max_urls_per_sitemap=1).count() == 1
+
+
+class TestWarcCodec:
+    def _recs(self):
+        from hydra_spark.analysis.warc import build_warc_record
+
+        return [
+            build_warc_record(
+                "response", "https://a.example.org/1", "2025-01-01T00:00:00Z",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>",
+            ),
+            build_warc_record(
+                "request", "https://a.example.org/1", "2025-01-01T00:00:00Z",
+                b"GET /1 HTTP/1.1\r\nHost: a.example.org\r\n\r\n",
+                content_type="application/http; msgtype=request",
+            ),
+            build_warc_record(
+                "warcinfo", None, "2025-01-01T00:00:00Z", b"software: test\r\n",
+                content_type="application/warc-fields",
+            ),
+        ]
+
+    def test_roundtrip_gzip_members_and_plain(self):
+        from hydra_spark.analysis.warc import build_warc, iter_warc_records
+
+        for gz in (True, False):
+            parsed = list(iter_warc_records(build_warc(self._recs(), gzip_per_record=gz)))
+            assert [p["warc_type"] for p in parsed] == ["response", "request", "warcinfo"]
+            assert parsed[0]["http_status"] == 200
+            assert parsed[0]["body"] == b"<html>hi</html>"
+            assert parsed[0]["target_uri"] == "https://a.example.org/1"
+            assert parsed[2]["target_uri"] is None
+
+    def test_resync_and_edge_inputs(self):
+        from hydra_spark.analysis.warc import build_warc, iter_warc_records
+
+        plain = build_warc(self._recs(), gzip_per_record=False)
+        assert len(list(iter_warc_records(b"garbage" + plain))) == 3
+        # truncated mid-gzip-member: earlier full members still decode
+        gz = build_warc(self._recs())
+        assert len(list(iter_warc_records(gz[: len(gz) - 10]))) >= 2
+        assert list(iter_warc_records(None)) == []
+        assert list(iter_warc_records(b"")) == []
+        assert list(iter_warc_records(b"no warc here")) == []
+
+    def test_deterministic_record_ids(self):
+        from hydra_spark.analysis.warc import build_warc_record
+
+        a = build_warc_record("response", "u", "2025-01-01T00:00:00Z", b"x")
+        b = build_warc_record("response", "u", "2025-01-01T00:00:00Z", b"x")
+        assert a == b and b"urn:uuid:" in a
+
+    def test_spark_read_warc(self, spark, tmp_path):
+        from hydra_spark.analysis.warc import build_warc, read_warc
+
+        (tmp_path / "seg-0.warc.gz").write_bytes(build_warc(self._recs()))
+        (tmp_path / "seg-1.warc.gz").write_bytes(build_warc(self._recs()[:1]))
+        out = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+        rows = out.collect()
+        assert len(rows) == 4
+        assert {r.warc_type for r in rows} == {"response", "request", "warcinfo"}
+        resp = [r for r in rows if r.warc_type == "response"]
+        assert all(r.http_status == 200 and bytes(r.body) == b"<html>hi</html>" for r in resp)
+        assert all(r.src.endswith(".warc.gz") for r in rows)
