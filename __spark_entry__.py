@@ -1056,6 +1056,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_surt_key(spark, sf):  # CDX url key (SURT), grammar replay
+        from hydra_spark.functions.urls import surt_key
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        url = (
+            F.when(d % 4 == 0,
+                   F.concat(F.lit("https://www.Host"), (d % 20).cast("string"),
+                            F.lit(".Example.COM:443/Path/"), ds,
+                            F.lit("?b=2&a="), (d % 5).cast("string")))
+            .when(d % 4 == 1,
+                  F.concat(F.lit("http://sub"), (d % 3).cast("string"),
+                           F.lit(".site"), (d % 7).cast("string"),
+                           F.lit(".org:8080/x/"), ds))
+            .when(d % 4 == 2,
+                  F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                           F.lit(".example.com/doc/"), ds))
+            .otherwise(F.concat(F.lit("relative-no-scheme-"), ds))
+        )
+        docs = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+        return docs.select("doc_id", "url", surt_key("url").alias("urlkey"))
+
     def q_sitemap_extract(spark, sf):  # sitemap <loc> harvest, grammar replay
         from hydra_spark.crawl.discover import extract_sitemap_urls
 
@@ -1277,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
         "warc_parse": q_warc_parse,
+        "surt_key": q_surt_key,
         "claim_cap": q_claim_cap,
     }
 
@@ -2329,5 +2352,33 @@ def oracle_sql() -> dict[str, str]:
                            'https://site' || (doc_id % 7) || '.example.org/page/'
                              || doc_id]) AS loc
             FROM documents
+        """,
+        # SURT url-key replay: scheme dropped, www stripped, host
+        # reversed, default port dropped / explicit port kept, tail
+        # lowercased, query params sorted; no-scheme rows key NULL
+        "surt_key": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 4 = 0 THEN 'https://www.Host' || (doc_id % 20)
+                            || '.Example.COM:443/Path/' || doc_id || '?b=2&a=' || (doc_id % 5)
+                       WHEN doc_id % 4 = 1 THEN 'http://sub' || (doc_id % 3)
+                            || '.site' || (doc_id % 7) || '.org:8080/x/' || doc_id
+                       WHEN doc_id % 4 = 2 THEN 'https://host' || (doc_id % 20)
+                            || '.example.com/doc/' || doc_id
+                       ELSE 'relative-no-scheme-' || doc_id
+                     END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   CASE
+                     WHEN doc_id % 4 = 0 THEN 'com,example,host' || (doc_id % 20)
+                          || ')/path/' || doc_id || '?a=' || (doc_id % 5) || '&b=2'
+                     WHEN doc_id % 4 = 1 THEN 'org,site' || (doc_id % 7)
+                          || ',sub' || (doc_id % 3) || ':8080)/x/' || doc_id
+                     WHEN doc_id % 4 = 2 THEN 'com,example,host' || (doc_id % 20)
+                          || ')/doc/' || doc_id
+                     ELSE NULL
+                   END AS urlkey
+            FROM u
         """,
     }

@@ -42,6 +42,8 @@ __all__ = [
     "iter_warc_records",
     "warc_records",
     "read_warc",
+    "build_warc_with_index",
+    "read_warc_slice",
 ]
 
 WARC_RECORD_SCHEMA = T.StructType(
@@ -208,3 +210,37 @@ def read_warc(spark, path: str) -> DataFrame:
     only a slice is needed."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return warc_records(files, content_col="content", src_col="path")
+
+
+def build_warc_with_index(records: list[bytes]) -> tuple[bytes, list[dict]]:
+    """CC-style segment + its CDX offsets: each record its own gzip
+    member, index rows carry (offset, length) of the member so a reader
+    can fetch ONE record with a ranged read — the random-access property
+    CDX pushdown depends on. Offsets are byte positions in the .warc.gz
+    file; pair with `read_warc_slice`."""
+    out, rows, pos = [], [], 0
+    for rec in records:
+        member = gzip.compress(rec, compresslevel=1, mtime=0)
+        meta = next(iter(iter_warc_records(rec)), None) or {}
+        rows.append(
+            {
+                "target_uri": meta.get("target_uri"),
+                "warc_date": meta.get("warc_date"),
+                "warc_type": meta.get("warc_type"),
+                "offset": pos,
+                "length": len(member),
+            }
+        )
+        out.append(member)
+        pos += len(member)
+    return b"".join(out), rows
+
+
+def read_warc_slice(path: str, offset: int, length: int) -> dict | None:
+    """Fetch ONE record via its CDX (offset, length) — a ranged read of
+    a single gzip member, no segment scan. This is the driver-side /
+    per-task primitive; bulk access goes through `read_warc`."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    return next(iter_warc_records(member), None)

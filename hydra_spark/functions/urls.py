@@ -72,3 +72,29 @@ def host_bucket(url: Column | str, n_buckets: int) -> Column:
     """Stable host-hash bucket for frontier partitioning (§2.4):
     breadth-first claims and Bloom shards key on this."""
     return F.pmod(F.hash(url_domain(url)), F.lit(n_buckets)).cast("int")
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT-style url key (Sort-friendly URI Reordering Transform) —
+    the canonical key of Common-Crawl/Wayback CDX indexes:
+    ``https://www.Example.COM:8080/Path?b=2&a=1`` →
+    ``com,example:8080)/path?a=1&b=2``. Scheme dropped, host
+    lowercased + reversed comma-joined with a leading ``www.``
+    stripped, default ports dropped, path lowercased, query params
+    sorted. Pure expressions; rows with no netloc key as NULL."""
+    u = F.col(url) if isinstance(url, str) else url
+    c = canonicalize_url(u)
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(c, _SCHEME_RE + r"([^/?]+)", 2))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.lower(F.regexp_replace(c, _SCHEME_RE + r"[^/?]+", ""))
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    tail_out = F.when(query == "", path).otherwise(F.concat(path, F.lit("?"), sorted_q))
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, port, F.lit(")"), tail_out)
+    )

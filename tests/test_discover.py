@@ -296,3 +296,42 @@ class TestWarcCodec:
         resp = [r for r in rows if r.warc_type == "response"]
         assert all(r.http_status == 200 and bytes(r.body) == b"<html>hi</html>" for r in resp)
         assert all(r.src.endswith(".warc.gz") for r in rows)
+
+
+class TestCdxIndex:
+    def test_offsets_enable_ranged_record_reads(self, tmp_path):
+        from hydra_spark.analysis.warc import (
+            build_warc_record,
+            build_warc_with_index,
+            read_warc_slice,
+        )
+
+        recs = [
+            build_warc_record(
+                "response", f"https://h{i}.example.org/{i}", "2025-01-01T00:00:00Z",
+                b"HTTP/1.1 200 OK\r\n\r\nbody-%d" % i,
+            )
+            for i in range(5)
+        ]
+        seg, idx = build_warc_with_index(recs)
+        p = tmp_path / "s.warc.gz"
+        p.write_bytes(seg)
+        assert sum(r["length"] for r in idx) == len(seg)
+        for i, row in enumerate(idx):
+            rec = read_warc_slice(str(p), row["offset"], row["length"])
+            assert rec["target_uri"] == f"https://h{i}.example.org/{i}"
+            assert rec["body"] == b"body-%d" % i
+
+    def test_surt_key_shapes(self, spark):
+        from hydra_spark.functions.urls import surt_key
+
+        cases = {
+            "https://www.Example.COM:8080/Path?b=2&a=1": "com,example:8080)/path?a=1&b=2",
+            "https://www.Example.COM:443/Path?b=2&a=1": "com,example)/path?a=1&b=2",
+            "http://sub.host.org/x": "org,host,sub)/x",
+            "https://example.com": "com,example)/",
+            "no-scheme": None,
+        }
+        df = spark.createDataFrame([(u,) for u in cases], ["u"])
+        got = {r.u: r.k for r in df.select("u", surt_key("u").alias("k")).collect()}
+        assert got == cases
