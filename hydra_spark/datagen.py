@@ -347,3 +347,44 @@ def rich_html_page(idx: Column) -> tuple[Column, Column]:
         ).otherwise(F.lit("")),
     )
     return html, expected
+
+
+def generate_linked_pages(
+    spark: SparkSession,
+    n: int,
+    n_hosts: int = 100,
+    out_degree: int = 3,
+) -> DataFrame:
+    """Pure-HTML corpus whose pages LINK to each other — a deterministic
+    web graph for exercising frontier growth (crawl/discover.py): page
+    ``i`` links to ``(i*7+1) % n``, ``(i*13+3) % n``, ``(i*31+7) % n``
+    (first ``out_degree``), a fixed-degree expander-ish graph that a
+    breadth-first crawl reaches fully from a small seed set in a few
+    rounds. Same (url, warc_ts, html, text, lang) shape as
+    `generate_pages`."""
+    muls = [(7, 1), (13, 3), (31, 7)][:out_degree]
+    i = F.col("id")
+
+    def url_of(x):
+        return F.concat(
+            F.lit("https://host"), (x % n_hosts).cast("string"),
+            F.lit(".example.com/page/"), x.cast("string"),
+        )
+
+    text = F.concat(F.lit("linked doc "), i.cast("string"))
+    anchors = [
+        F.concat(F.lit('<a href="'), url_of((i * m + c) % n), F.lit('">l</a>'))
+        for m, c in muls
+    ]
+    html = F.concat(
+        F.lit("<html><head><title>d</title></head><body><p>"), text, F.lit("</p>"),
+        *anchors, F.lit("</body></html>"),
+    )
+    return spark.range(n).select(
+        url_of(i).alias("url"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_interval(secs=(i * 53 % 864000).cast("double"))).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+        F.when(i % 3 == 0, F.lit("en")).otherwise(F.lit("fr")).alias("lang"),
+    )

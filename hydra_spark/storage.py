@@ -143,10 +143,21 @@ class AppendLog:
 
     def append(self, df: DataFrame, round_id: int | None = None, meta: dict | None = None) -> int:
         m = self.manifest()
-        # max(id)+1, NOT len+1: after a rewrite() compaction the manifest
-        # holds one batch with a high id — len-based numbering would
-        # reuse old ids and eventually overwrite the compacted dir
-        bid = max((b["id"] for b in m["batches"]), default=0) + 1
+        # max(id)+1 over live AND superseded batches, NOT len+1: after a
+        # rewrite()/clear compaction the live list shrinks (or empties) —
+        # reusing an id would overwrite a superseded dir still held by
+        # open readers, and collide with FrontierTable's folded-insert
+        # id guard (a new batch wearing a folded id is silently skipped)
+        bid = (
+            max(
+                (
+                    b["id"]
+                    for b in (m["batches"] + m.get("superseded", []))
+                ),
+                default=0,
+            )
+            + 1
+        )
         bdir = os.path.join(self.dir, f"batch-{bid:06d}")
         df.write.mode("overwrite").parquet(bdir)
         m["batches"].append(
@@ -172,7 +183,10 @@ class AppendLog:
         in; the old dirs are left on disk for still-open readers and can
         be garbage-collected by a later maintenance pass."""
         m = self.manifest()
-        bid = max((b["id"] for b in m["batches"]), default=0) + 1
+        bid = (
+            max((b["id"] for b in (m["batches"] + m.get("superseded", []))), default=0)
+            + 1
+        )
         bdir = os.path.join(self.dir, f"batch-{bid:06d}")
         df.write.mode("overwrite").parquet(bdir)  # BEFORE touching the manifest
         now = time.time()

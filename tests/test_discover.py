@@ -335,3 +335,34 @@ class TestCdxIndex:
         df = spark.createDataFrame([(u,) for u in cases], ["u"])
         got = {r.u: r.k for r in df.select("u", surt_key("u").alias("k")).collect()}
         assert got == cases
+
+
+class TestInsertIdsAfterCompaction:
+    def test_post_compact_insert_batch_not_swallowed_by_folded_ids(self, spark):
+        """Regression (caught by bench_discover): after compact() cleared
+        the insert manifest, a NEW insert batch reused id 1 — which sat
+        in the base's folded-id set — and was silently skipped on read."""
+        from hydra_spark.crawl.discover import discover_frontier
+        from hydra_spark.storage import StateStore
+
+        store = StateStore(tempfile.mkdtemp(prefix="hydra_ids_"))
+        base = spark.createDataFrame(
+            [Row(dataset_id=None, resource_id="r0", url="https://h.example.com/0",
+                 deleted=False, last_check=None, priority=False, status=None,
+                 status_since=None, harvest_modified_at=None, type=None,
+                 format=None, title=None, host_bucket=3)],
+            FRONTIER_SCHEMA,
+        )
+        store.frontier.commit(base, round_id=0)
+        l1 = spark.createDataFrame([Row(url="u", link="https://h.example.com/a")])
+        store.frontier.append_inserts(
+            discover_frontier(store.frontier.read(spark), l1), round_id=1
+        )
+        store.frontier.compact(spark, round_id=1)
+        l2 = spark.createDataFrame([Row(url="u", link="https://h.example.com/b")])
+        store.frontier.append_inserts(
+            discover_frontier(store.frontier.read(spark), l2), round_id=2
+        )
+        assert store.frontier.read(spark).count() == 3  # r0 + a + b
+        store.frontier.compact(spark, round_id=2)
+        assert store.frontier.read(spark).count() == 3
