@@ -1056,6 +1056,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return incremental_dedup(docs.where("source <> 'src0'"), prior)
 
+    def q_unicode_norm(spark, sf):  # NFC + control-strip over planted grammar
+        from hydra_spark.ml.text import normalize_text
+
+        d = F.col("doc_id")
+        planted = F.concat(
+            F.col("text"),
+            # explicit escapes: decomposed e+U+0301 / A+U+030A, C0 bell
+            F.when(d % 3 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\x07bell")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" A\u030a")).otherwise(F.lit("")),
+        )
+        docs = _t(spark, sf, "documents").select("doc_id", planted.alias("text"))
+        return normalize_text(docs)
+
     def q_surt_key(spark, sf):  # CDX url key (SURT), grammar replay
         from hydra_spark.functions.urls import surt_key
 
@@ -1300,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "warc_parse": q_warc_parse,
         "surt_key": q_surt_key,
+        "unicode_norm": q_unicode_norm,
         "claim_cap": q_claim_cap,
     }
 
@@ -2380,5 +2395,26 @@ def oracle_sql() -> dict[str, str]:
                      ELSE NULL
                    END AS urlkey
             FROM u
+        """,
+        # NFC twin: DuckDB nfc_normalize == python unicodedata NFC;
+        # control strip replayed with the same character class
+        "unicode_norm": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN chr(7) || 'bell' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' A' || chr(778) ELSE '' END
+                       AS text
+              FROM documents),
+            n AS (SELECT doc_id, text,
+                         nfc_normalize(regexp_replace(text,
+                             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS text_norm
+                  FROM p)
+            SELECT doc_id, text_norm,
+                   text_norm <> text AS changed,
+                   CAST(length(text) AS INT) AS n_chars_before,
+                   CAST(length(text_norm) AS INT) AS n_chars_after
+            FROM n
         """,
     }

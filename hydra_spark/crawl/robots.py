@@ -135,3 +135,21 @@ def split_robots(batch: DataFrame, rules: DataFrame | None):
     blocked = batch.join(r, cond, "left_semi")
     allowed = batch.join(r, cond, "left_anti")
     return allowed, blocked
+
+
+def sitemaps_from_robots(
+    df: DataFrame, body_col: str = "body", url_col: str = "url"
+) -> DataFrame:
+    """(url, sitemap) rows from robots.txt bodies: ``Sitemap:``
+    directives (RFC 9309 §2.3 allows them anywhere in the file,
+    case-insensitive, absolute URLs). The discovery chain is
+    robots → `sitemaps_from_robots` → fetch → `extract_sitemap_urls`
+    → `discover_frontier`. Pure expressions."""
+    body = F.col(body_col).cast("string")
+    maps = F.regexp_extract_all(body, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)\s*$"), 1)
+    maps = F.filter(maps, lambda x: x.rlike("^https?://"))
+    maps = F.array_sort(F.array_distinct(maps))
+    staged = df.select(F.col(url_col).alias("_src_url"), maps.alias("_maps"))
+    return staged.select(
+        F.col("_src_url").alias("url"), F.explode("_maps").alias("sitemap")
+    )

@@ -8,8 +8,11 @@ whole-stage-codegen'd; no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _EN_STOP = ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"]
 _FR_STOP = ["le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"]
@@ -159,4 +162,47 @@ def text_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(text_col).alias("lang_detected"),
         bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
         fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization + control-character cleanup — the codepoint
+    hygiene pass webtext pipelines run before hashing/dedup (the same
+    logical text must hash identically whether a page emitted composed
+    or decomposed accents). Two stages:
+
+    - C0/DEL control characters (except tab/newline/CR) strip JVM-side
+      (pure regexp, whole-stage codegen);
+    - Unicode ``form`` (NFC default) normalization via an Arrow-batched
+      pandas UDF (`unicodedata` — the one part Spark has no builtin
+      for; ~GB/s per core, scan-bound at scale).
+
+    Returns (id_col, text_norm, changed, n_chars_before, n_chars_after).
+    """
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    t = F.col(text_col)
+    stripped = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_orig"),
+        _nfc(stripped).alias("text_norm"),
+    )
+    return staged.select(
+        id_col,
+        "text_norm",
+        (F.col("text_norm") != F.col("_orig")).alias("changed"),
+        F.length("_orig").alias("n_chars_before"),
+        F.length("text_norm").alias("n_chars_after"),
     )

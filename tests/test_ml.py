@@ -1454,3 +1454,35 @@ class TestUrlQualityFilter:
         rows = {r.url: r.keep for r in out.collect()}
         assert not rows["https://ads.tracker1.com/banner/1"]
         assert rows["https://clean.example.org/doc/5"]
+
+
+class TestNormalizeText:
+    def test_nfc_composition_and_control_strip(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.ml.text import normalize_text
+
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="café and Å"),   # decomposed
+            Row(doc_id=1, text="café composed"),        # already NFC
+            Row(doc_id=2, text="bell\x07 and del\x7f kept\ttab\nnl"),
+            Row(doc_id=3, text=""),
+        ])
+        rows = {r.doc_id: r for r in normalize_text(df).collect()}
+        assert rows[0].text_norm == "café and Å"
+        assert rows[0].changed and rows[0].n_chars_after == rows[0].n_chars_before - 2
+        assert rows[1].text_norm == "café composed" and not rows[1].changed
+        assert rows[2].text_norm == "bell and del kept\ttab\nnl" and rows[2].changed
+        assert rows[3].text_norm == "" and not rows[3].changed
+
+    def test_nfkc_form(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.ml.text import normalize_text
+
+        # NFKC folds the ligature ﬁ and fullwidth digits; NFC keeps them
+        df = spark.createDataFrame([Row(doc_id=0, text="ﬁle １２")])
+        [nfc] = normalize_text(df, form="NFC").collect()
+        [nfkc] = normalize_text(df, form="NFKC").collect()
+        assert nfc.text_norm == "ﬁle １２"
+        assert nfkc.text_norm == "file 12"

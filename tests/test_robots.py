@@ -117,3 +117,34 @@ def test_rules_from_robots_pages_match_synthetic(spark):
     a = {(r["domain"], r["disallow_prefix"]) for r in parsed.collect()}
     b = {(r["domain"], r["disallow_prefix"]) for r in synthetic.collect()}
     assert a == b and a
+
+
+class TestSitemapsFromRobots:
+    def test_directives_parsed_case_insensitive_and_deduped(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.crawl.robots import sitemaps_from_robots
+
+        body = (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://h.example.com/sitemap.xml\n"
+            "SITEMAP:   https://h.example.com/sitemap2.xml\n"
+            "sitemap: https://h.example.com/sitemap.xml\n"
+            "Sitemap: not-absolute.xml\n"
+        ).encode()
+        df = spark.createDataFrame([Row(url="https://h.example.com/robots.txt", body=body)])
+        rows = sorted(r.sitemap for r in sitemaps_from_robots(df).collect())
+        assert rows == [
+            "https://h.example.com/sitemap.xml",
+            "https://h.example.com/sitemap2.xml",
+        ]
+
+    def test_no_directives(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.crawl.robots import sitemaps_from_robots
+
+        df = spark.createDataFrame(
+            [Row(url="https://h.example.com/robots.txt", body=b"User-agent: *\nDisallow:")]
+        )
+        assert sitemaps_from_robots(df).count() == 0
