@@ -85,6 +85,11 @@ def main() -> None:
     store = StateStore(tempfile.mkdtemp(prefix="hydra_bench_"))
     init_state(store, frontier)
     cfg = DEFAULT.with_(batch_size=batch, backoff_nb_req=10**9)
+    if os.environ.get("HYDRA_BENCH_DISCOVER"):
+        # A/B knob: measures href-extraction + enqueue anti-join overhead
+        # at production batch sizes (generate_pages html carries no
+        # links, so the delta is pure discovery-path cost)
+        cfg = cfg.with_(discover_links=True)
 
     t0 = time.time()
     res = run_crawl(spark, store, pages, cfg, rounds=rounds)
