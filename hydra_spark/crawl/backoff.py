@@ -24,8 +24,19 @@ from pyspark.sql import functions as F
 from hydra_spark.config import HydraConfig
 
 
-def domain_backoff(checks: DataFrame | None, cfg: HydraConfig, now: str) -> DataFrame | None:
+def domain_backoff(
+    checks: DataFrame | None,
+    cfg: HydraConfig,
+    now: str,
+    crawl_delays: DataFrame | None = None,
+) -> DataFrame | None:
     """Backed-off domains as of `now`: DataFrame(domain, backoff_reason).
+
+    ``crawl_delays(domain, crawl_delay)`` (robots.crawl_delays_from_
+    robots_pages) tightens the rate budget per host: a declared delay of
+    d seconds caps the window at floor(backoff_period / d) requests
+    (never above cfg.backoff_nb_req). The delays table is hosts-sized —
+    always broadcast; the rate aggregate itself is unchanged.
 
     Returns None when there is no checks history yet.
     """
@@ -37,11 +48,28 @@ def domain_backoff(checks: DataFrame | None, cfg: HydraConfig, now: str) -> Data
 
     base = checks.where(F.col("domain").isNotNull())
 
-    rate = (
+    counted = (
         base.where(F.col("created_at") >= since_rate)
         .groupBy("domain")
         .agg(F.count("*").alias("nb_req"))
-        .where(F.col("nb_req") >= cfg.backoff_nb_req)
+    )
+    limit_req = F.lit(int(cfg.backoff_nb_req))
+    if crawl_delays is not None:
+        d = F.broadcast(
+            crawl_delays.select(
+                F.col("domain"), F.col("crawl_delay").cast("double").alias("_cd")
+            ).where(F.col("_cd") > 0)
+        )
+        counted = counted.join(d, "domain", "left")
+        limit_req = F.least(
+            limit_req,
+            F.coalesce(
+                F.floor(F.lit(float(cfg.backoff_period)) / F.col("_cd")).cast("int"),
+                limit_req,
+            ),
+        )
+    rate = (
+        counted.where(F.col("nb_req") >= limit_req)
         .select(
             "domain",
             F.concat(F.lit("Too many requests: "), F.col("nb_req").cast("string")).alias(

@@ -38,6 +38,7 @@ def run_crawl(
     robots_rules=None,
     exceptions=None,
     force_analysis=None,
+    crawl_delays=None,
 ) -> list[dict]:
     """Run `rounds` rounds, resuming after the last committed one."""
     start = datetime.strptime(start_now, TS_FMT)
@@ -49,5 +50,5 @@ def run_crawl(
     out = []
     for r in range(first, first + rounds):
         now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
-        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions, force_analysis=force_analysis))
+        out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions, force_analysis=force_analysis, crawl_delays=crawl_delays))
     return out

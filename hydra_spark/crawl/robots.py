@@ -153,3 +153,76 @@ def sitemaps_from_robots(
     return staged.select(
         F.col("_src_url").alias("url"), F.explode("_maps").alias("sitemap")
     )
+
+
+def parse_crawl_delay(body: str, agent: str = "hydra") -> float | None:
+    """Crawl-delay seconds applying to `agent`, with the same
+    group-resolution semantics as `parse_robots_txt` (exact-agent group
+    wins; `*` only when no exact group exists; the non-standard but
+    ubiquitous directive big crawlers honor)."""
+    groups: list[tuple[list[str], float | None, bool]] = []  # (agents, delay, closed)
+    cur_agents: list[str] = []
+    cur_delay: float | None = None
+    closed = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if closed:
+                groups.append((cur_agents, cur_delay, closed))
+                cur_agents, cur_delay, closed = [], None, False
+            cur_agents.append(val.lower())
+        else:
+            closed = True
+            if key == "crawl-delay" and cur_agents:
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay, closed))
+    exact = [d for agents, d, _ in groups if agent.lower() in agents and d is not None]
+    if any(agent.lower() in agents for agents, _, _ in groups):
+        return exact[0] if exact else None
+    star = [d for agents, d, _ in groups if "*" in agents and d is not None]
+    return star[0] if star else None
+
+
+def crawl_delays_from_robots_pages(
+    robots_pages: DataFrame, agent: str = "hydra"
+) -> DataFrame:
+    """(domain, body) → `crawl_delays(domain, crawl_delay)` — feed to
+    `backoff.domain_backoff(crawl_delays=...)` to turn each host's
+    declared delay into a per-domain request budget. Same
+    one-row-per-host scale shape as `rules_from_robots_pages`."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("crawl_delay", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for domain, body in pdf[["domain", "body"]].itertuples(index=False):
+                if body is None:
+                    continue
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if isinstance(body, (bytes, bytearray))
+                    else body
+                )
+                d = parse_crawl_delay(text, agent)
+                if d is not None and d > 0:
+                    rows.append((domain, float(d)))
+            yield pd.DataFrame(rows, columns=["domain", "crawl_delay"])
+
+    return robots_pages.mapInPandas(gen, schema=schema)

@@ -91,6 +91,7 @@ def run_round(
     robots_rules: DataFrame | None = None,
     exceptions: DataFrame | None = None,
     force_analysis: DataFrame | None = None,
+    crawl_delays: DataFrame | None = None,
 ) -> dict:
     t0 = time.time()
     _tlast = [t0]
@@ -123,7 +124,7 @@ def run_round(
     # persist the claim: it feeds the politeness split AND the fetch —
     # without this the two selection windows recompute per consumer
     batch = select_batch(frontier, lc, cfg, round_id, now).persist()
-    go, held = split_backoff(batch, domain_backoff(checks, cfg, now))
+    go, held = split_backoff(batch, domain_backoff(checks, cfg, now, crawl_delays=crawl_delays))
     go, robots_blocked = split_robots(go, robots_rules)
 
     fetched = simulate_fetch(go, pages, cfg, round_id, now)

@@ -93,3 +93,90 @@ def test_no_backoff_domains_allowlist(spark):
     cfg = DEFAULT.with_(backoff_nb_req=2, no_backoff_domains=("vip.com",))
     rows = [_mk(i, "vip.com", 10 * i) for i in range(5)]
     assert _domains(spark, rows, cfg) == {}
+
+
+class TestCrawlDelayBudget:
+    def test_declared_delay_tightens_rate_budget(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.backoff import domain_backoff
+
+        now = "2025-01-15 12:00:00"
+        base = datetime(2025, 1, 15, 11, 59, 0)
+        # 10 checks each inside the 360s window for two domains
+        rows = []
+        for dom in ("slow.example.com", "fast.example.com"):
+            for i in range(10):
+                rows.append(Row(
+                    id=i, resource_id=f"r{i}", url=f"https://{dom}/{i}", domain=dom,
+                    created_at=base + timedelta(seconds=i), status=200, headers={},
+                ))
+        checks = spark.createDataFrame(
+            rows,
+            "id long, resource_id string, url string, domain string, "
+            "created_at timestamp, status int, headers map<string,string>",
+        )
+        cfg = DEFAULT.with_(backoff_nb_req=180, backoff_period=360.0)
+        # no delays: neither domain near the 180 budget
+        assert domain_backoff(checks, cfg, now).count() == 0
+        # slow.example.com declares Crawl-delay 60 -> budget floor(360/60)=6
+        delays = spark.createDataFrame(
+            [Row(domain="slow.example.com", crawl_delay=60.0)]
+        )
+        held = domain_backoff(checks, cfg, now, crawl_delays=delays)
+        assert [r.domain for r in held.collect()] == ["slow.example.com"]
+
+    def test_delay_never_raises_budget(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.backoff import domain_backoff
+
+        now = "2025-01-15 12:00:00"
+        base = datetime(2025, 1, 15, 11, 59, 0)
+        rows = [Row(id=i, resource_id=f"r{i}", url=f"https://d.example.com/{i}",
+                    domain="d.example.com", created_at=base + timedelta(seconds=i),
+                    status=200, headers={}) for i in range(5)]
+        checks = spark.createDataFrame(
+            rows,
+            "id long, resource_id string, url string, domain string, "
+            "created_at timestamp, status int, headers map<string,string>",
+        )
+        cfg = DEFAULT.with_(backoff_nb_req=3, backoff_period=360.0)
+        # tiny declared delay would allow 3600 req — budget stays at 3
+        delays = spark.createDataFrame([Row(domain="d.example.com", crawl_delay=0.1)])
+        held = domain_backoff(checks, cfg, now, crawl_delays=delays)
+        assert held.count() == 1
+
+
+class TestParseCrawlDelay:
+    def test_group_resolution(self):
+        from hydra_spark.crawl.robots import parse_crawl_delay
+
+        body = ("User-agent: *\nCrawl-delay: 2\n\n"
+                "User-agent: hydra\nDisallow: /x\nCrawl-delay: 7.5\n")
+        assert parse_crawl_delay(body) == 7.5
+        assert parse_crawl_delay(body, "other") == 2.0
+        # exact group without a delay wins over * (and yields None)
+        assert parse_crawl_delay("User-agent: hydra\nDisallow: /x\n"
+                                 "User-agent: *\nCrawl-delay: 9\n") is None
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: bogus\n") is None
+        assert parse_crawl_delay("") is None
+
+    def test_delays_table_from_pages(self, spark):
+        from pyspark.sql import Row
+
+        from hydra_spark.crawl.robots import crawl_delays_from_robots_pages
+
+        pages = spark.createDataFrame([
+            Row(domain="a.example.com", body=b"User-agent: *\nCrawl-delay: 5\n"),
+            Row(domain="b.example.com", body=b"User-agent: *\nDisallow: /\n"),
+            Row(domain="c.example.com", body=None),
+        ])
+        rows = {r.domain: r.crawl_delay for r in crawl_delays_from_robots_pages(pages).collect()}
+        assert rows == {"a.example.com": 5.0}
