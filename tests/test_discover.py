@@ -366,3 +366,33 @@ class TestInsertIdsAfterCompaction:
         assert store.frontier.read(spark).count() == 3  # r0 + a + b
         store.frontier.compact(spark, round_id=2)
         assert store.frontier.read(spark).count() == 3
+
+
+class TestDiscoveryChain:
+    def test_robots_to_sitemap_to_frontier(self, spark):
+        """The full growth chain: robots.txt Sitemap directives ->
+        sitemap <loc> harvest -> frontier enqueue."""
+        from hydra_spark.crawl.discover import discover_frontier, extract_sitemap_urls
+        from hydra_spark.crawl.robots import sitemaps_from_robots
+
+        robots = spark.createDataFrame([Row(
+            url="https://h.example.com/robots.txt",
+            body=(b"User-agent: *\nDisallow: /private\n"
+                  b"Sitemap: https://h.example.com/sitemap.xml\n"),
+        )])
+        maps = sitemaps_from_robots(robots)
+        assert [r.sitemap for r in maps.collect()] == ["https://h.example.com/sitemap.xml"]
+        # simulate fetching the advertised sitemap
+        fetched = maps.select(
+            F.col("sitemap").alias("url"),
+            F.encode(F.lit(
+                "<urlset><url><loc>https://h.example.com/a</loc></url>"
+                "<url><loc>https://h.example.com/b</loc></url></urlset>"
+            ), "UTF-8").alias("xml"),
+        )
+        locs = extract_sitemap_urls(fetched)
+        fr = spark.createDataFrame([], FRONTIER_SCHEMA)
+        new = discover_frontier(fr, locs, link_col="loc")
+        urls = sorted(r.url for r in new.collect())
+        assert urls == ["https://h.example.com/a", "https://h.example.com/b"]
+        assert all(r.type == "discovered" for r in new.collect())
