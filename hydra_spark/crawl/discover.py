@@ -107,19 +107,22 @@ def discover_frontier(
     from hydra_spark.config import DEFAULT
 
     cfg = cfg or DEFAULT
-    h = F.md5(F.col("url"))
+    h = F.md5(F.col(link_col))
     rid = F.concat_ws(
         "-",
         F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
         F.substring(h, 17, 4), F.substring(h, 21, 12),
     )
+    # dedup keyed on the DERIVED resource_id, not the url: the groupBy
+    # output is then already hash-partitioned on the anti-join key, so
+    # the candidate side shuffles ONCE (url↔rid is 1:1 — rid is md5(url))
     cand = (
-        links.select(F.col(link_col).alias("url"))
-        .groupBy("url")
-        .agg(F.count("*").alias("_n"))
+        links.select(rid.alias("resource_id"), F.col(link_col).alias("url"))
+        .groupBy("resource_id")
+        .agg(F.min("url").alias("url"))
         .select(
             F.lit(None).cast("string").alias("dataset_id"),
-            rid.alias("resource_id"),
+            F.col("resource_id"),
             F.col("url"),
             F.lit(False).alias("deleted"),
             F.lit(None).cast("long").alias("last_check"),
