@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--store", required=True, help="StateStore directory (resume-able)")
     p.add_argument("--pages-parquet", default=None,
                    help="read the pages corpus from parquet instead of synthesizing")
+    p.add_argument("--discover-links", action="store_true",
+                   help="grow the frontier from hrefs in fetched pages")
+    p.add_argument("--linked-corpus", action="store_true",
+                   help="synthesize the linked-page graph corpus instead of the mixed one")
+    p.add_argument("--seed-every", type=int, default=None,
+                   help="seed only every Nth page into the frontier (discovery demos)")
     args = p.parse_args(argv)
 
     # spark-submit owns master/deploy-mode; only job-level SQL conf here.
@@ -57,15 +63,27 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
+    elif args.linked_corpus:
+        from hydra_spark.datagen import generate_linked_pages
+
+        pages = generate_linked_pages(spark, args.pages, n_hosts=args.hosts)
     else:
         pages = generate_pages(spark, args.pages, n_hosts=args.hosts)
     pages = pages.cache()
 
     store = StateStore(args.store)
     if store.last_round() == 0:
-        init_state(store, generate_frontier(spark, pages))
+        seed_pages = pages
+        if args.seed_every:
+            from pyspark.sql import functions as F
 
-    cfg = DEFAULT.with_(batch_size=args.batch_size)
+            seed_pages = pages.where(
+                F.regexp_extract("url", r"/(?:page|doc)/(\d+)$", 1).cast("long")
+                % args.seed_every == 0
+            )
+        init_state(store, generate_frontier(spark, seed_pages))
+
+    cfg = DEFAULT.with_(batch_size=args.batch_size, discover_links=args.discover_links)
     results = run_crawl(spark, store, pages, cfg, rounds=args.rounds)
     for r in results:
         print(json.dumps({k: v for k, v in r.items() if not isinstance(v, dict)}))

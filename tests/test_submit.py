@@ -181,3 +181,41 @@ def test_spark_submit_csv_sample_and_download_resource(tmp_path, spark):
     )
     assert res.returncode == 1
     assert "not found in catalog" in res.stdout
+
+
+def test_spark_submit_discovery_crawl(tmp_path):
+    """Discovery mode under real spark-submit: linked corpus, 10% seed,
+    frontier grows and discovered URLs are claimed in later rounds."""
+    zip_path = tmp_path / "hydra_spark.zip"
+    subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / "package.py"), str(zip_path)],
+        check=True, capture_output=True,
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    res = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(ROOT / "jobs" / "crawl_job.py"),
+            "--pages", "400", "--hosts", "10",
+            "--rounds", "4", "--batch-size", "400",
+            "--linked-corpus", "--discover-links", "--seed-every", "10",
+            "--store", str(tmp_path / "store"),
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines() if l.startswith("{")]
+    rounds = [l for l in lines if "n_discovered" in l]
+    assert rounds and rounds[0]["n_discovered"] > 0
+    total_checked = sum(r["n_checked"] for r in rounds)
+    assert total_checked > 40  # grew well beyond the 40-page seed
