@@ -396,3 +396,35 @@ class TestDiscoveryChain:
         urls = sorted(r.url for r in new.collect())
         assert urls == ["https://h.example.com/a", "https://h.example.com/b"]
         assert all(r.type == "discovered" for r in new.collect())
+
+
+class TestWarcSink:
+    def test_crawl_pages_archive_and_roundtrip(self, spark, tmp_path):
+        from hydra_spark.analysis.warc import read_warc, write_warc
+        from hydra_spark.datagen import generate_pages
+
+        pages = generate_pages(spark, 120, n_hosts=6)
+        manifest = write_warc(pages, str(tmp_path / "archive")).collect()
+        assert sum(m.n_records for m in manifest) == 120
+        assert all(m.path.endswith(".warc.gz") for m in manifest)
+        back = read_warc(spark, str(tmp_path / "archive") + "/*.warc.gz")
+        assert back.count() == 120
+        # body bytes roundtrip exactly against the source html
+        src = {r.url: bytes(r.html) for r in pages.select("url", "html").collect()}
+        for r in back.select("target_uri", "body", "http_status").collect():
+            assert bytes(r.body) == src[r.target_uri]
+            assert r.http_status == 200
+
+    def test_null_payloads_skipped_and_deterministic_names(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hydra_spark.analysis.warc import write_warc
+
+        df = spark.createDataFrame(
+            [("https://h.example.com/1", None), ("https://h.example.com/2", b"x")],
+            "url string, html binary",
+        ).withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+        m1 = sorted(r.path for r in write_warc(df.coalesce(1), str(tmp_path / "a")).collect())
+        m2 = sorted(r.path for r in write_warc(df.coalesce(1), str(tmp_path / "b")).collect())
+        assert len(m1) == 1
+        assert [p.split("/")[-1] for p in m1] == [p.split("/")[-1] for p in m2]
