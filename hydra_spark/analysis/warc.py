@@ -45,6 +45,7 @@ __all__ = [
     "build_warc_with_index",
     "read_warc_slice",
     "write_warc",
+    "write_wet",
 ]
 
 WARC_RECORD_SCHEMA = T.StructType(
@@ -307,6 +308,69 @@ def write_warc(
             seg = build_warc(recs)
             name = hashlib.md5(str(pdf[url_col].iloc[0]).encode()).hexdigest()[:16]
             path = os.path.join(out_dir, f"part-{name}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(seg)
+            yield pd.DataFrame(
+                [{"path": path, "n_records": len(recs), "n_bytes": len(seg)}]
+            )
+
+    return proj.mapInPandas(gen, schema)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """WET SINK — Common Crawl's extracted-text product: WARC
+    'conversion' records (Content-Type text/plain, UTF-8 text payload).
+    fetch → extract_text → `write_wet` IS the WET-generation pipeline;
+    same segment/naming/manifest contract as `write_warc`."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    proj = df.select(url_col, ts_col, text_col)
+
+    def gen(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for row in pdf.itertuples(index=False):
+                url, ts, text = (
+                    getattr(row, url_col), getattr(row, ts_col), getattr(row, text_col)
+                )
+                if text is None:
+                    continue
+                date = (
+                    pd.Timestamp(ts).strftime(_DATE_FMT)
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                recs.append(
+                    build_warc_record(
+                        "conversion", url, date, str(text).encode("utf-8"),
+                        content_type="text/plain",
+                    )
+                )
+            if not recs:
+                continue
+            seg = build_warc(recs)
+            name = hashlib.md5(("wet|" + str(pdf[url_col].iloc[0])).encode()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.warc.wet.gz")
             with open(path, "wb") as f:
                 f.write(seg)
             yield pd.DataFrame(

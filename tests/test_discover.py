@@ -428,3 +428,26 @@ class TestWarcSink:
         m2 = sorted(r.path for r in write_warc(df.coalesce(1), str(tmp_path / "b")).collect())
         assert len(m1) == 1
         assert [p.split("/")[-1] for p in m1] == [p.split("/")[-1] for p in m2]
+
+
+class TestWetSink:
+    def test_extract_then_wet_roundtrip(self, spark, tmp_path):
+        """fetch -> extract -> WET: the CC text-product pipeline."""
+        from pyspark.sql import functions as F
+
+        from hydra_spark.analysis.extract import html_to_text
+        from hydra_spark.analysis.warc import read_warc, write_wet
+        from hydra_spark.datagen import generate_linked_pages
+
+        pages = generate_linked_pages(spark, 60, n_hosts=6)
+        extracted = pages.select(
+            "url", "warc_ts", html_to_text("html").alias("text")
+        )
+        manifest = write_wet(extracted, str(tmp_path / "wet")).collect()
+        assert sum(m.n_records for m in manifest) == 60
+        back = read_warc(spark, str(tmp_path / "wet") + "/*.warc.wet.gz")
+        assert back.count() == 60
+        assert {r.warc_type for r in back.select("warc_type").distinct().collect()} == {"conversion"}
+        src = {r.url: r.text for r in extracted.collect()}
+        for r in back.select("target_uri", "body").collect():
+            assert bytes(r.body).decode() == src[r.target_uri]
