@@ -49,6 +49,8 @@ def main() -> None:
         "spark.driver.memory": os.environ.get("HYDRA_SPARK_DRIVER_MEM", "32g"),
         "spark.driver.extraJavaOptions": "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC",
     }
+    if os.environ.get("HYDRA_ARROW_BATCH"):
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ["HYDRA_ARROW_BATCH"]
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/spark-local", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/spark-local"
