@@ -1145,6 +1145,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length(F.col("body")).cast("long").alias("body_len"),
         )
 
+    def q_wat_extract(spark, sf):  # WAT metadata product: envelope build + JVM parse
+        from hydra_spark.analysis import warc as W
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+
+        def seg(batches):
+            from datetime import datetime, timedelta
+
+            import pandas as pd
+
+            for pdf in batches:
+                recs = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    url = f"https://host{did % 20}.example.com/doc/{did}"
+                    dt = datetime(2025, 1, 1) + timedelta(seconds=did * 97 % 864000)
+                    date = dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    title = "" if did % 11 == 0 else f"<title> Doc   {did} </title>"
+                    html = (
+                        f"<html><head>{title}</head><body>"
+                        f'<a href="https://ext{did % 5}.example.org/p/{did}">x</a>'
+                        f'<a href="/rel/{did}.html">y</a></body></html>'
+                    ).encode()
+                    recs.append(
+                        W.build_warc_record(
+                            "metadata", url, date, W.wat_envelope(url, date, html),
+                            content_type="application/json",
+                        )
+                    )
+                yield pd.DataFrame({"content": [W.build_warc(recs)]})
+
+        segs = docs.mapInPandas(seg, "content binary")
+        meta = W.wat_metadata(W.warc_records(segs))
+        return meta.select("target_uri", "title", F.explode("links").alias("link"))
+
     def q_link_extract(spark, sf):  # §2.4 growth: href extraction + resolution
         from hydra_spark.crawl.discover import extract_links
 
@@ -1313,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
         "warc_parse": q_warc_parse,
+        "wat_extract": q_wat_extract,
         "surt_key": q_surt_key,
         "unicode_norm": q_unicode_norm,
         "claim_cap": q_claim_cap,
@@ -2356,6 +2392,17 @@ def oracle_sql() -> dict[str, str]:
                    200 AS http_status,
                    md5(text) AS body_md5,
                    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+            FROM documents
+        """,
+        # WAT envelope replay: title whitespace-collapsed (absent every
+        # 11th doc), links are the RAW hrefs in document order
+        "wat_extract": r"""
+            SELECT 'https://host' || (doc_id % 20) || '.example.com/doc/' || doc_id
+                     AS target_uri,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE 'Doc ' || doc_id END AS title,
+                   unnest(['https://ext' || (doc_id % 5) || '.example.org/p/' || doc_id,
+                           '/rel/' || doc_id || '.html']) AS link
             FROM documents
         """,
         # sitemap <loc> grammar replay: entity-decoded query-string loc

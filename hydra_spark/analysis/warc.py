@@ -46,6 +46,9 @@ __all__ = [
     "read_warc_slice",
     "write_warc",
     "write_wet",
+    "wat_envelope",
+    "write_wat",
+    "wat_metadata",
 ]
 
 WARC_RECORD_SCHEMA = T.StructType(
@@ -71,6 +74,7 @@ def build_warc_record(
     date: str,
     payload: bytes,
     content_type: str = "application/http; msgtype=response",
+    extra_headers: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """One well-formed WARC/1.0 record. ``date`` is the WARC-Date
     string (``YYYY-mm-ddTHH:MM:SSZ``). The record id is a deterministic
@@ -87,6 +91,8 @@ def build_warc_record(
     ]
     if target_uri is not None:
         headers.insert(2, f"WARC-Target-URI: {target_uri}")
+    for k, v in extra_headers or []:
+        headers.append(f"{k}: {v}")
     return "\r\n".join(headers).encode("utf-8") + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 
@@ -378,3 +384,208 @@ def write_wet(
             )
 
     return proj.mapInPandas(gen, schema)
+
+
+# --- WAT: Common Crawl's metadata product ------------------------------
+
+_WAT_TITLE_RE = None  # compiled lazily so import stays cheap
+_WAT_HREF_RE = None
+
+
+def wat_envelope(
+    url: str | None, date: str, payload: bytes | None, max_links: int = 1000
+) -> bytes:
+    """The JSON payload of one WAT 'metadata' record: a CC-style
+    Envelope carrying the response's WARC header echo plus extracted
+    HTML metadata — the <title> and every anchor href AS WRITTEN in the
+    document (WAT records raw hrefs, unresolved; resolution is the
+    consumer's job — contrast crawl.discover.extract_links, which
+    resolves because the frontier needs absolute URLs). Link order is
+    document order, capped at ``max_links`` (spam-page bound, same cap
+    rationale as extract_links). Key order is fixed so archives replay
+    byte-identically.
+
+    Reference basis: Common Crawl's published WAT layout
+    (Envelope → WARC-Header-Metadata / Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Head.Title + Links[]).
+    """
+    import json
+    import re
+
+    global _WAT_TITLE_RE, _WAT_HREF_RE
+    if _WAT_TITLE_RE is None:
+        _WAT_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.I | re.S)
+        _WAT_HREF_RE = re.compile(rb"""href\s*=\s*["']([^"']+)["']""")
+
+    raw = bytes(payload) if payload is not None else b""
+    html_meta: dict = {}
+    m = _WAT_TITLE_RE.search(raw)
+    if m:
+        title = re.sub(r"\s+", " ", m.group(1).decode("utf-8", "replace")).strip()
+        if title:
+            html_meta["Head"] = {"Title": title}
+    links = [
+        {"path": "A@/href", "url": h.decode("utf-8", "replace")}
+        for h in _WAT_HREF_RE.findall(raw)[:max_links]
+    ]
+    html_meta["Links"] = links
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": date,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "Actual-Content-Type": "application/http; msgtype=response",
+                "HTTP-Response-Metadata": {"HTML-Metadata": html_meta},
+            },
+        }
+    }
+    return json.dumps(env, separators=(",", ":"), ensure_ascii=False).encode("utf-8")
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    max_links: int = 1000,
+) -> DataFrame:
+    """WAT SINK — Common Crawl's metadata product: WARC 'metadata'
+    records (Content-Type application/json) whose body is the
+    `wat_envelope` of each fetched page, WARC-Refers-To pointing at the
+    deterministic record id the corresponding `write_warc` response
+    record gets (same md5(uri|date) derivation) — so the WARC/WAT/WET
+    trio cross-references exactly like CC's. Same segment / naming /
+    manifest contract as `write_warc`; reads back with `read_warc` +
+    `wat_metadata`."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    proj = df.select(url_col, ts_col, payload_col)
+
+    def gen(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for row in pdf.itertuples(index=False):
+                url, ts, payload = (
+                    getattr(row, url_col), getattr(row, ts_col), getattr(row, payload_col)
+                )
+                if payload is None:
+                    continue
+                date = (
+                    pd.Timestamp(ts).strftime(_DATE_FMT)
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                rid = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+                refers = (
+                    f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}"
+                    f"-{rid[16:20]}-{rid[20:32]}>"
+                )
+                recs.append(
+                    build_warc_record(
+                        "metadata", url, date,
+                        wat_envelope(url, date, payload, max_links=max_links),
+                        content_type="application/json",
+                        extra_headers=[("WARC-Refers-To", refers)],
+                    )
+                )
+            if not recs:
+                continue
+            seg = build_warc(recs)
+            name = hashlib.md5(("wat|" + str(pdf[url_col].iloc[0])).encode()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.warc.wat.gz")
+            with open(path, "wb") as f:
+                f.write(seg)
+            yield pd.DataFrame(
+                [{"path": path, "n_records": len(recs), "n_bytes": len(seg)}]
+            )
+
+    return proj.mapInPandas(gen, schema)
+
+
+WAT_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "WARC-Header-Metadata",
+                        T.StructType([T.StructField("WARC-Target-URI", T.StringType())]),
+                    ),
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "HTTP-Response-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "HTML-Metadata",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Head",
+                                                            T.StructType(
+                                                                [T.StructField("Title", T.StringType())]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "Links",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("path", T.StringType()),
+                                                                        T.StructField("url", T.StringType()),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def wat_metadata(records: DataFrame) -> DataFrame:
+    """Parse WAT records (the `read_warc` rows with warc_type =
+    'metadata') back into columns — entirely JVM-side: the envelope
+    JSON goes through `from_json` with the fixed WAT schema, no Python.
+    Returns (target_uri, title, links array<string> of raw hrefs)."""
+    from pyspark.sql import functions as F
+
+    env = F.from_json(F.col("body").cast("string"), WAT_ENVELOPE_SCHEMA)
+    html = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    return records.where(F.col("warc_type") == "metadata").select(
+        F.col("target_uri"),
+        html["Head"]["Title"].alias("title"),
+        F.transform(html["Links"], lambda l: l["url"]).alias("links"),
+    )

@@ -451,3 +451,77 @@ class TestWetSink:
         src = {r.url: r.text for r in extracted.collect()}
         for r in back.select("target_uri", "body").collect():
             assert bytes(r.body).decode() == src[r.target_uri]
+
+
+class TestWatSink:
+    def test_wat_roundtrip_and_cross_reference(self, spark, tmp_path):
+        """WARC/WAT/WET trio: the WAT metadata record's WARC-Refers-To
+        matches the record id write_warc gives the response record."""
+        from hydra_spark.analysis.warc import (
+            iter_warc_records,
+            read_warc,
+            read_warc_slice,
+            wat_metadata,
+            write_warc,
+            write_wat,
+        )
+        from hydra_spark.datagen import generate_linked_pages
+
+        pages = generate_linked_pages(spark, 60, n_hosts=6)
+        write_warc(pages, str(tmp_path / "warc")).collect()
+        manifest = write_wat(pages, str(tmp_path / "wat")).collect()
+        assert sum(m.n_records for m in manifest) == 60
+        assert all(m.path.endswith(".warc.wat.gz") for m in manifest)
+
+        back = read_warc(spark, str(tmp_path / "wat") + "/*.warc.wat.gz")
+        assert {r.warc_type for r in back.select("warc_type").distinct().collect()} == {"metadata"}
+        meta = wat_metadata(back)
+        assert meta.count() == 60
+
+        # links in the WAT are the raw hrefs of the page html
+        src = {
+            r.url: bytes(r.html).decode()
+            for r in pages.select("url", "html").collect()
+        }
+        for r in meta.collect():
+            for link in r.links:
+                assert f'href="{link}"' in src[r.target_uri]
+
+        # cross-reference: WARC-Refers-To == the response record's id
+        response_ids = {}
+        for m in (tmp_path / "warc").glob("*.warc.gz"):
+            for rec in iter_warc_records(m.read_bytes()):
+                response_ids[rec["target_uri"]] = rec["record_id"]
+        n_checked = 0
+        for m in (tmp_path / "wat").glob("*.warc.wat.gz"):
+            raw = m.read_bytes()
+            import gzip as _g
+            import re as _re
+
+            text = _g.decompress(raw) if raw.startswith(b"\x1f\x8b") else raw
+            # refers-to of the first record in the segment
+            rec = next(iter_warc_records(raw))
+            head = _re.search(
+                rb"WARC-Refers-To: (<[^>]+>)",
+                text.split(b"\r\n\r\n", 1)[0],
+            )
+            assert head is not None
+            assert head.group(1).decode() == response_ids[rec["target_uri"]]
+            n_checked += 1
+        assert n_checked == len(manifest)
+
+    def test_wat_envelope_edge_cases(self):
+        from hydra_spark.analysis.warc import wat_envelope
+        import json
+
+        # no title, no links, None payload
+        env = json.loads(wat_envelope("u", "1970-01-01T00:00:00Z", None))
+        hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert hm["Links"] == [] and "Head" not in hm
+        # whitespace-collapsed title + link cap
+        html = b"<title>\n A   B </title>" + b'<a href="/x">.</a>' * 5
+        env = json.loads(wat_envelope("u", "1970-01-01T00:00:00Z", html, max_links=3))
+        hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert hm["Head"]["Title"] == "A B"
+        assert len(hm["Links"]) == 3
+        assert hm["Links"][0] == {"path": "A@/href", "url": "/x"}
