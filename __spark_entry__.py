@@ -1180,6 +1180,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         meta = W.wat_metadata(W.warc_records(segs))
         return meta.select("target_uri", "title", F.explode("links").alias("link"))
 
+    def q_host_rank(spark, sf):  # link-graph: damped power-iteration host rank
+        from hydra_spark.crawl.graph import host_rank
+
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents")
+        e1 = docs.select(
+            F.concat(F.lit("h"), (d % 11).cast("string")).alias("src_host"),
+            F.concat(F.lit("h"), (d % 7).cast("string")).alias("dst_host"),
+        )
+        e2 = docs.where(d % 5 == 0).select(
+            F.concat(F.lit("h"), (d % 11).cast("string")).alias("src_host"),
+            F.lit("sink").alias("dst_host"),
+        )
+        edges = e1.union(e2).where(F.col("src_host") != F.col("dst_host"))
+        return host_rank(edges, iterations=2)
+
+    def q_anchor_extract(spark, sf):  # link-graph: anchor-text relevance signal
+        from hydra_spark.crawl.graph import anchor_texts
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        base = F.concat(
+            F.lit("https://host"), (d % 20).cast("string"),
+            F.lit(".example.com/doc/"), ds,
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext'), (d % 5).cast("string"),
+            F.lit(".example.org/p/"), ds, F.lit('" class="x"> Click   '), ds,
+            F.lit(' </a><a href="/rel/'), ds, F.lit('">rel '), ds,
+            F.lit('</a><a name="n">no href</a></body></html>'),
+        )
+        docs = _t(spark, sf, "documents").select(
+            base.alias("url"), F.encode(html, "UTF-8").alias("html")
+        )
+        return anchor_texts(docs)
+
     def q_link_extract(spark, sf):  # §2.4 growth: href extraction + resolution
         from hydra_spark.crawl.discover import extract_links
 
@@ -1349,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "warc_parse": q_warc_parse,
         "wat_extract": q_wat_extract,
+        "host_rank": q_host_rank,
+        "anchor_extract": q_anchor_extract,
         "surt_key": q_surt_key,
         "unicode_norm": q_unicode_norm,
         "claim_cap": q_claim_cap,
@@ -2393,6 +2431,57 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS body_md5,
                    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
             FROM documents
+        """,
+        # PageRank twin: the 2-iteration damped power iteration unrolled
+        # as CTEs — same dangling-mass redistribution, same edge set
+        "host_rank": r"""
+            WITH e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 'h' || (doc_id % 11) AS src, 'h' || (doc_id % 7) AS dst
+                FROM documents
+                UNION ALL
+                SELECT 'h' || (doc_id % 11), 'sink' FROM documents WHERE doc_id % 5 = 0
+              ) WHERE src <> dst
+            ),
+            hosts AS (SELECT DISTINCT host
+                      FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM hosts),
+            deg AS (SELECT src, COUNT(*) AS out FROM e GROUP BY src),
+            r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS r FROM hosts),
+            d0 AS (SELECT COALESCE(SUM(r), 0) AS m FROM r0
+                   WHERE host NOT IN (SELECT src FROM deg)),
+            c0 AS (SELECT e.dst AS host, SUM(r0.r / deg.out) AS c
+                   FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.host = e.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT h.host,
+                          0.15 / (SELECT n FROM nn)
+                          + 0.85 * (COALESCE(c0.c, 0)
+                                    + (SELECT m FROM d0) / (SELECT n FROM nn)) AS r
+                   FROM hosts h LEFT JOIN c0 ON h.host = c0.host),
+            d1 AS (SELECT COALESCE(SUM(r), 0) AS m FROM r1
+                   WHERE host NOT IN (SELECT src FROM deg)),
+            c1 AS (SELECT e.dst AS host, SUM(r1.r / deg.out) AS c
+                   FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.host = e.src
+                   GROUP BY e.dst)
+            SELECT h.host,
+                   0.15 / (SELECT n FROM nn)
+                   + 0.85 * (COALESCE(c1.c, 0)
+                             + (SELECT m FROM d1) / (SELECT n FROM nn)) AS rank
+            FROM hosts h LEFT JOIN c1 ON h.host = c1.host
+        """,
+        # anchor grammar replay: href + whitespace-collapsed text per <a>;
+        # the href-less anchor drops
+        "anchor_extract": r"""
+            WITH b AS (SELECT doc_id,
+                              'https://host' || (doc_id % 20) || '.example.com/doc/'
+                                || doc_id AS url
+                       FROM documents)
+            SELECT url,
+                   'https://ext' || (doc_id % 5) || '.example.org/p/' || doc_id AS link,
+                   'Click ' || doc_id AS anchor
+            FROM b
+            UNION ALL
+            SELECT url, '/rel/' || doc_id, 'rel ' || doc_id FROM b
         """,
         # WAT envelope replay: title whitespace-collapsed (absent every
         # 11th doc), links are the RAW hrefs in document order
