@@ -984,6 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "source"), rates
         )
 
+    def q_domain_mix(spark, sf):  # webtext: temperature-scaled corpus mixing
+        from hydra_spark.ml import webtext
+
+        return webtext.domain_mix(
+            _t(spark, sf, "documents"), budget_tokens=50_000, alpha=0.7
+        )
+
     def q_redact_pii(spark, sf):  # webtext: anonymization pass
         from hydra_spark.ml import webtext
 
@@ -1369,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "unigram_lm": q_unigram_lm,
         "stratified_sample": q_stratified_sample,
+        "domain_mix": q_domain_mix,
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
         "pack_sequences": q_pack_sequences,
@@ -2040,6 +2048,32 @@ def oracle_sql() -> dict[str, str]:
                      << (4*(8-i)) for i in range(1,9)]) / 4294967296.0
                   < CASE CAST(substring(source, 4) AS INT) % 4
                       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END
+        """,
+        # domain-mix twin: w_d = T_d^0.7, keep rate min(1, budget*share/T),
+        # membership by the seed-17 md5 uniform
+        "domain_mix": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            w AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS T,
+                         power(CAST(SUM(n_tokens) AS DOUBLE), 0.7) AS w
+                  FROM base GROUP BY source),
+            tot AS (SELECT SUM(w) AS sw FROM w),
+            rates AS (SELECT source,
+                             CASE WHEN T > 0
+                                  THEN least(1.0, 50000.0 * w / (SELECT sw FROM tot) / T)
+                                  ELSE 0.0 END AS keep_rate
+                      FROM w)
+            SELECT b.doc_id, b.source, b.n_tokens,
+                   round(r.keep_rate, 9) AS keep_rate
+            FROM base b JOIN rates r USING (source)
+            WHERE list_sum([(strpos('0123456789abcdef',
+                     substring(md5('17|' || CAST(b.doc_id AS VARCHAR)), i, 1))-1)::BIGINT
+                     << (4*(8-i)) for i in range(1,9)]) / 4294967296.0 < r.keep_rate
         """,
         # twin of webtext.redact_pii over the same planted-PII grammar
         "redact_pii": r"""

@@ -55,6 +55,7 @@ __all__ = [
     "perplexity_buckets",
     "uniform_hash",
     "stratified_sample",
+    "domain_mix",
     "leakage_safe_splits",
     "redact_pii",
     "corpus_token_stats",
@@ -895,4 +896,64 @@ def c4_passes(
         & ~e["has_lorem_ipsum"]
         & ~e["has_curly_brace"]
         & ~e["has_badword"]
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+) -> DataFrame:
+    """Temperature-scaled domain mixing to a token budget — the corpus
+    COMPOSITION step after cleaning: sampling weight w_d ∝ T_d^alpha
+    where T_d is the domain's token mass (alpha < 1 flattens the natural
+    distribution so head domains don't drown the tail — the
+    multilingual sampling rule of XLM-R/mT5 and the source-reweighting
+    treatment in GPT-3's training-set construction); each domain's
+    target is budget·w_d/Σw and its keep rate p_d = min(1, target/T_d).
+    Membership is `uniform_hash(key) < p_d`, so the mix replays
+    bit-identically at any parallelism and on any engine.
+
+    Scale: ONE map-side-combinable aggregate builds the per-domain
+    table (one row per domain — tiny), which broadcasts back; the
+    accept test is then a pure filter — the corpus itself NEVER
+    shuffles. Domains with zero token mass drop (their weight is 0).
+    Returns kept rows (key, domain, n_tokens, keep_rate)."""
+    t = F.trim(F.col(text_col))
+    n_tok = (
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+    )
+    base = df.select(
+        F.col(key_col), F.col(domain_col).alias("_dom"), n_tok.alias("n_tokens")
+    )
+    dom = (
+        base.groupBy("_dom")
+        .agg(F.sum("n_tokens").cast("double").alias("_T"))
+        .withColumn("_w", F.pow(F.col("_T"), F.lit(float(alpha))))
+    )
+    tot = dom.agg(F.sum("_w").alias("_sw"))
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "_dom",
+        F.when(
+            F.col("_T") > 0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * F.col("_w") / F.col("_sw") / F.col("_T"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("keep_rate"),
+    )
+    out = base.join(F.broadcast(rates), "_dom").where(
+        uniform_hash(F.col(key_col).cast("string"), seed=seed) < F.col("keep_rate")
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("_dom").alias(domain_col),
+        "n_tokens",
+        F.round("keep_rate", 9).alias("keep_rate"),
     )

@@ -567,3 +567,66 @@ class TestGatePredicates:
         assert base == {0, 1}
         # gates keep the clean doc, drop the lorem-ipsum one
         assert got == {0}
+
+
+class TestDomainMix:
+    def _corpus(self, spark):
+        rows = []
+        # head domain 10x the tail's token mass
+        for i in range(100):
+            rows.append((i, "head", "w " * 100))
+        for i in range(100, 110):
+            rows.append((i, "tail", "w " * 100))
+        rows.append((999, "empty", "   "))
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_budget_and_flattening(self, spark):
+        from hydra_spark.ml.webtext import domain_mix
+
+        df = self._corpus(spark)
+        # alpha=1: proportional -> every non-empty domain gets the same rate
+        out1 = domain_mix(df, budget_tokens=5500, alpha=1.0)
+        rates = {r.source: r.keep_rate for r in out1.select("source", "keep_rate").distinct().collect()}
+        assert abs(rates["head"] - 0.5) < 1e-9 and abs(rates["tail"] - 0.5) < 1e-9
+        # alpha=0: equal share per domain -> tail saturates at 1.0, head downsampled
+        out0 = domain_mix(df, budget_tokens=5500, alpha=0.0)
+        r0 = {r.source: r.keep_rate for r in out0.select("source", "keep_rate").distinct().collect()}
+        assert r0.get("tail") == 1.0
+        assert r0["head"] < 0.5
+        # empty domain never appears
+        assert out0.where("source = 'empty'").count() == 0
+
+    def test_sampled_token_mass_near_budget(self, spark):
+        from pyspark.sql import functions as F
+
+        from hydra_spark.ml.webtext import domain_mix
+
+        df = self._corpus(spark)
+        got = domain_mix(df, budget_tokens=5500, alpha=0.7).agg(F.sum("n_tokens")).first()[0]
+        assert 0.6 * 5500 <= got <= 1.4 * 5500  # 110 docs -> coarse but centered
+
+    def test_budget_above_corpus_keeps_everything(self, spark):
+        from hydra_spark.ml.webtext import domain_mix
+
+        df = self._corpus(spark)
+        out = domain_mix(df, budget_tokens=10**9)
+        assert out.count() == 110
+        assert {r.keep_rate for r in out.select("keep_rate").distinct().collect()} == {1.0}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from hydra_spark.ml.webtext import domain_mix
+
+        df = self._corpus(spark)
+        a = sorted(r.doc_id for r in domain_mix(df.repartition(1), 5500).collect())
+        b = sorted(r.doc_id for r in domain_mix(df.repartition(16), 5500).collect())
+        assert a == b
+
+    def test_corpus_side_never_shuffles(self, spark):
+        """Plan gate: the only exchange is the tiny per-domain aggregate;
+        the corpus joins the broadcast rate table and filters in place."""
+        from hydra_spark.ml.webtext import domain_mix
+
+        df = self._corpus(spark)
+        plan = domain_mix(df, 5500)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
