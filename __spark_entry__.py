@@ -501,6 +501,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("comp").alias("component")
         )
 
+    def q_keep_best(spark, sf):
+        # the same 12 path graphs as dedup_components + 10 singletons;
+        # score alternates by doc parity so EVERY cluster's argmax is a
+        # tie the lowest-id rule must break
+        edges = (
+            spark.range(60)
+            .where("id % 5 != 4")
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        docs = spark.range(70).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 2) / F.lit(2.0)).alias("score"),
+        )
+        return dedup.keep_best_per_cluster(docs, edges)
+
     def q_bloom_seen(spark, sf):
         # oracle-able invariant: a Bloom filter has NO false negatives —
         # every inserted url must probe true
@@ -1365,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed": q_ivf_indexed,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
+        "keep_best": q_keep_best,
         "corpus_curation": q_corpus_curation,
         "jaccard_verify": q_jaccard_verify,
         "bloom_seen": q_bloom_seen,
@@ -1813,6 +1829,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_components": """
             SELECT i AS id, (i // 5) * 5 AS component FROM range(60) t(i)
+        """,
+        # keep_best twin: components in closed form for the path graphs,
+        # argmax by (score DESC, doc_id) per component, singletons keep
+        "keep_best": """
+            WITH docs AS (
+              SELECT i AS doc_id,
+                     CASE WHEN i < 60 THEN CAST((i // 5) * 5 AS BIGINT) END AS comp,
+                     (i % 2) / 2.0 AS score
+              FROM range(70) t(i)
+            ),
+            ranked AS (
+              SELECT doc_id, comp, score,
+                     row_number() OVER (PARTITION BY comp ORDER BY score DESC, doc_id) AS rn
+              FROM docs
+            )
+            SELECT doc_id, coalesce(comp, doc_id) AS component, score,
+                   (comp IS NULL OR rn = 1) AS keep
+            FROM ranked
         """,
         "corpus_curation": f"""
             WITH scored AS (

@@ -153,6 +153,10 @@ def main() -> None:
             "simhash": lambda: dedup.simhash(docs).select("doc_id", "simhash"),
             "jaccard_verify": lambda: dedup.jaccard_verify(docs, pairs, ngram=3),
             "minhash_dedup_cc": lambda: dedup.connected_components(pairs),
+            "keep_best": lambda: dedup.keep_best_per_cluster(
+                docs.select("doc_id", F.length("text").cast("double").alias("score")),
+                pairs,
+            ),
             "repetition_stats": lambda: webtext.repetition_features(docs, k=2),
             "line_dedup": lambda: webtext.chunk_dedup_corpus(docs, k=4),
             "decontaminate": lambda: webtext.decontaminate(
@@ -165,6 +169,9 @@ def main() -> None:
             "redact_pii": lambda: webtext.redact_pii(docs),
             "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
             "pack_sequences": lambda: webtext.pack_sequences(docs, window=64),
+            "domain_mix": lambda: webtext.domain_mix(
+                docs, budget_tokens=500_000, alpha=0.7
+            ),
             "stratified_sample": lambda: webtext.stratified_sample(
                 docs.select("doc_id", "source"),
                 {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)},

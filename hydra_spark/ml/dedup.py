@@ -331,6 +331,48 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-document selection — the step AFTER clustering that
+    minhash_dedup_cc hardwires to "keep the min id": given the corpus
+    and verified duplicate pairs, keep the HIGHEST-``score_col`` doc of
+    each connected component (ties → lowest id), so the survivor of a
+    dup cluster is its best-quality copy, not an arbitrary one (the
+    quality-aware variant used when dedup runs after quality scoring).
+    Returns the full decision table (id, component, score, keep) —
+    filter ``keep`` for the corpus, ``NOT keep`` for the drop list.
+
+    Scale: components are computed only over nodes appearing in pairs
+    (dup clusters — a small fraction of the corpus); the per-cluster
+    argmax is ONE map-side-combinable ``min_by`` aggregate over that
+    small set, NOT a window sort over the corpus; docs outside any
+    cluster pass through as their own singleton with keep=true. The
+    corpus shuffles once, on id, to meet the component labels."""
+    comps = connected_components(pairs)
+    member = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    ).join(comps, "id", "left")
+    keepers = (
+        member.where(F.col("comp").isNotNull())
+        .groupBy("comp")
+        .agg(
+            F.min_by(
+                "id", F.struct((-F.col("_score")).alias("s"), F.col("id").alias("i"))
+            ).alias("_keeper")
+        )
+    )
+    return member.join(keepers, "comp", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("comp", "id").alias("component"),
+        F.col("_score").alias(score_col),
+        (F.col("comp").isNull() | (F.col("id") == F.col("_keeper"))).alias("keep"),
+    )
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     text_col: str = "text",

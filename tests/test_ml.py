@@ -295,6 +295,39 @@ def test_connected_components_paths_and_hub(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_keep_best_per_cluster(spark):
+    # path cluster {1,2,3,4}, pair {10,11}, singletons 50/51
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (10, 0.0), (11, 0.5),
+         (50, 0.0), (51, 0.7)],
+        "doc_id long, score double",
+    )
+    out = dedup.keep_best_per_cluster(docs, edges)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 8
+    # cluster {1..4}: 2 and 3 tie at 0.9 -> lowest id (2) survives
+    kept = {i for i, r in rows.items() if r.keep}
+    assert kept == {2, 11, 50, 51}
+    # singletons are their own component and always keep
+    assert rows[50].component == 50 and rows[51].component == 51
+    assert rows[1].component == 1 and rows[4].component == 1
+    assert rows[10].component == 10 and rows[11].component == 10
+
+
+def test_keep_best_per_cluster_no_window_sort(spark):
+    """Plan gate: argmax is an aggregate, never a corpus-wide Window."""
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(1, 0.5), (2, 0.6)], "doc_id long, score double")
+    plan = (
+        dedup.keep_best_per_cluster(docs, edges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
 def test_minhash_dedup_cc_catches_hub_clusters(spark):
     """Hub cluster where the hub has the HIGHEST id: B(1)~A(3) and
     C(2)~A(3) but B!~C. Single-pass anchoring only removes id_b of each
