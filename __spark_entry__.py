@@ -1031,6 +1031,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.corpus_token_stats(_t(spark, sf, "documents"))
 
+    def q_token_topk(spark, sf):  # sketch: Misra-Gries heavy hitters
+        # capacity >= every partition's distinct-token count, so the
+        # sketch is provably exact and partitioning-independent (the
+        # ANN full-coverage trick); production runs bounded capacity
+        from hydra_spark.ml import sketch
+
+        return sketch.token_heavy_hitters(
+            _t(spark, sf, "documents"), k=20, capacity=4096
+        )
+
     def q_pack_sequences(spark, sf):  # webtext: GPT-style packing accounting
         from hydra_spark.ml import webtext
 
@@ -1395,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
+        "token_topk": q_token_topk,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "quality_classifier": q_quality_classifier,
@@ -2138,6 +2149,20 @@ def oracle_sql() -> dict[str, str]:
                    n_emails, n_ips,
                    CAST(len(regexp_extract_all(t2, '\+?\d[\d .-]{7,}\d')) AS INT) AS n_phones
             FROM i
+        """,
+        # token_topk twin: at full coverage the MG sketch equals the
+        # exact group-count top-k; err_bound = floor(N / (capacity+1))
+        "token_topk": r"""
+            WITH toks AS (
+              SELECT t AS token FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents
+              ) WHERE t <> ''
+            )
+            SELECT token, count(*) AS cnt,
+                   CAST((SELECT count(*) FROM toks) // 4097 AS BIGINT) AS err_bound
+            FROM toks GROUP BY token
+            ORDER BY cnt DESC, token LIMIT 20
         """,
         "corpus_token_stats": r"""
             SELECT source,

@@ -118,7 +118,7 @@ def main() -> None:
         # configurations — the driver queries run portable-md5 /
         # full-coverage variants for the oracle check, which are NOT the
         # hot path this harness tracks
-        from hydra_spark.ml import dedup, similarity
+        from hydra_spark.ml import dedup, similarity, sketch
         from hydra_spark.ml import text as mltext
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -169,6 +169,10 @@ def main() -> None:
             "redact_pii": lambda: webtext.redact_pii(docs),
             "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
             "pack_sequences": lambda: webtext.pack_sequences(docs, window=64),
+            # production config: BOUNDED capacity (approximate MG path)
+            "token_topk": lambda: sketch.token_heavy_hitters(
+                docs, k=50, capacity=400
+            ),
             "domain_mix": lambda: webtext.domain_mix(
                 docs, budget_tokens=500_000, alpha=0.7
             ),

@@ -295,6 +295,51 @@ def test_connected_components_paths_and_hub(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_heavy_hitters_exact_mode(spark):
+    from hydra_spark.ml.sketch import heavy_hitters
+
+    # zipf-ish: value i appears (20-i) times
+    rows = [(f"k{i:02d}",) for i in range(20) for _ in range(20 - i)]
+    df = spark.createDataFrame(rows, "key string")
+    got = heavy_hitters(df.repartition(7), "key", k=3, capacity=64).collect()
+    assert [(r.key, r.cnt) for r in got] == [("k00", 20), ("k01", 19), ("k02", 18)]
+    # capacity covers the vocab -> exact, partitioning-independent, err floor(N/65)
+    assert all(r.err_bound == sum(range(1, 21)) // 65 for r in got)
+    one = heavy_hitters(df.repartition(1), "key", k=3, capacity=64).collect()
+    assert [(r.key, r.cnt) for r in one] == [(r.key, r.cnt) for r in got]
+
+
+def test_heavy_hitters_mg_guarantees(spark):
+    """Small capacity: counts are lower bounds short by <= err_bound,
+    and every key above the error threshold is reported."""
+    from hydra_spark.ml.sketch import heavy_hitters
+
+    true = {"hot": 400, "warm": 120, **{f"cold{i}": 2 for i in range(50)}}
+    rows = [(key,) for key, c in true.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "key string").repartition(5)
+    got = {r.key: r for r in heavy_hitters(df, "key", k=10, capacity=8).collect()}
+    n = sum(true.values())
+    err = n // 9
+    for key, r in got.items():
+        assert r.err_bound == err
+        assert r.cnt <= true[key]                    # never overcounts
+        assert true[key] - r.cnt <= err              # bounded undercount
+    # guaranteed recall above the threshold
+    for key, c in true.items():
+        if c > err:
+            assert key in got, key
+
+
+def test_token_heavy_hitters(spark):
+    from hydra_spark.ml.sketch import token_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("  a\tb  ",), ("",), (None,)], "text string"
+    )
+    got = [(r.token, r.cnt) for r in token_heavy_hitters(df, k=2, capacity=64).collect()]
+    assert got == [("a", 4), ("b", 3)]
+
+
 def test_keep_best_per_cluster(spark):
     # path cluster {1,2,3,4}, pair {10,11}, singletons 50/51
     edges = spark.createDataFrame(
