@@ -1031,6 +1031,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.corpus_token_stats(_t(spark, sf, "documents"))
 
+    def q_snapshot_diff(spark, sf):  # cross-snapshot identity diff
+        # two synthetic crawls of the same corpus: ids %11==0 appear
+        # only in the new one (added), %7==0 only in the old (removed),
+        # %5==0 had their old text mutated (changed), rest unchanged
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        old = docs.where("doc_id % 11 != 0").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" OLD"))
+            ).otherwise(F.col("text")),
+        )
+        new = docs.where("doc_id % 7 != 0")
+        return dedup.snapshot_diff(old, new)
+
     def q_token_topk(spark, sf):  # sketch: Misra-Gries heavy hitters
         # capacity >= every partition's distinct-token count, so the
         # sketch is provably exact and partitioning-independent (the
@@ -1406,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
         "token_topk": q_token_topk,
+        "snapshot_diff": q_snapshot_diff,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "quality_classifier": q_quality_classifier,
@@ -2149,6 +2164,22 @@ def oracle_sql() -> dict[str, str]:
                    n_emails, n_ips,
                    CAST(len(regexp_extract_all(t2, '\+?\d[\d .-]{7,}\d')) AS INT) AS n_phones
             FROM i
+        """,
+        # snapshot_diff twin: same synthetic two-crawl construction
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 0
+            ),
+            new AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   md5(o.text) AS old_digest, md5(n.text) AS new_digest
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         # token_topk twin: at full coverage the MG sketch equals the
         # exact group-count top-k; err_bound = floor(N / (capacity+1))

@@ -199,6 +199,9 @@ def main() -> None:
                 docs, docs.where("lang = 'en'")
             ),
             "leakage_splits": lambda: webtext.leakage_safe_splits(docs),
+            "snapshot_diff": lambda: dedup.snapshot_diff(
+                docs.where("doc_id % 11 != 0"), docs.where("doc_id % 7 != 0")
+            ),
             "incremental_dedup": lambda: dedup.incremental_dedup(
                 docs.where("source <> 'src0'"),
                 docs.where("source = 'src0'").select(

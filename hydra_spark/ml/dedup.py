@@ -331,6 +331,45 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot corpus diff — the companion report to
+    `incremental_dedup` (which dedups by CONTENT anywhere; this tracks
+    each document IDENTITY across two crawls, the "new/changed/gone
+    URLs this month" product a monthly crawl publishes):
+
+    - ``added``     — id only in the new snapshot
+    - ``removed``   — id only in the old snapshot
+    - ``changed``   — id in both, content digest differs
+    - ``unchanged`` — id in both, content digest identical
+
+    Returns (id, status, old_digest, new_digest). Plan: each side
+    reduces to (id, md5) in its scan, then ONE full-outer sort-merge
+    join on id — no text ever shuffles; at 10^10 docs both digest
+    tables can be bucketed by id so successive monthly diffs skip the
+    shuffle entirely."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_digest")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col), status.alias("status"), "old_digest", "new_digest"
+    )
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     pairs: DataFrame,

@@ -295,6 +295,21 @@ def test_connected_components_paths_and_hub(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in dedup.snapshot_diff(old, new).collect()}
+    assert {i: r.status for i, r in got.items()} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+    }
+    assert got[4].old_digest is None and got[3].new_digest is None
+    assert got[1].old_digest == got[1].new_digest
+
+
 def test_heavy_hitters_exact_mode(spark):
     from hydra_spark.ml.sketch import heavy_hitters
 
