@@ -1031,6 +1031,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.corpus_token_stats(_t(spark, sf, "documents"))
 
+    def q_url_templates(spark, sf):  # frontier hygiene: trap templates
+        from hydra_spark.crawl.traps import url_templates
+
+        # deterministic URL grammar: a third of each host's docs sit on
+        # a static page, the rest on a paginated/session template that
+        # must collapse to ONE {N} pattern and trip the trap flag
+        d = F.col("doc_id")
+        url = F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://host"), (d % 10).cast("string"),
+                F.lit(".example.com/about"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://host"), (d % 10).cast("string"),
+                F.lit(".example.com/page/"), d.cast("string"),
+                F.lit("?session="), (d % 7).cast("string"), F.lit("&ref=x"),
+            )
+        )
+        urls = _t(spark, sf, "documents").select(url.alias("url"))
+        return url_templates(urls, min_urls=20)
+
     def q_snapshot_diff(spark, sf):  # cross-snapshot identity diff
         # two synthetic crawls of the same corpus: ids %11==0 appear
         # only in the new one (added), %7==0 only in the old (removed),
@@ -1421,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "token_topk": q_token_topk,
         "snapshot_diff": q_snapshot_diff,
+        "url_templates": q_url_templates,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "quality_classifier": q_quality_classifier,
@@ -2164,6 +2188,39 @@ def oracle_sql() -> dict[str, str]:
                    n_emails, n_ips,
                    CAST(len(regexp_extract_all(t2, '\+?\d[\d .-]{7,}\d')) AS INT) AS n_phones
             FROM i
+        """,
+        # url_templates twin: same URL grammar, template via the same
+        # digit-collapse + sorted-param-name rules (regexp_replace needs
+        # the 'g' flag in DuckDB; empty param list -> '' via coalesce)
+        "url_templates": r"""
+            WITH urls AS (
+              SELECT CASE WHEN doc_id % 3 = 0
+                THEN 'https://host' || (doc_id % 10) || '.example.com/about'
+                ELSE 'https://host' || (doc_id % 10) || '.example.com/page/'
+                     || doc_id || '?session=' || (doc_id % 7) || '&ref=x'
+              END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)', 1)) AS host,
+                     regexp_replace(
+                       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
+                       '[0-9]+', '{N}', 'g') AS tpath,
+                     coalesce(array_to_string(
+                       list_sort(list_distinct(regexp_extract_all(
+                         regexp_extract(url, '\?([^#]*)', 1), '(?:^|&)([^=&]+)', 1))),
+                       ','), '') AS pstr
+              FROM urls
+            ),
+            templ AS (
+              SELECT host,
+                     host || tpath ||
+                     CASE WHEN pstr = '' THEN '' ELSE '?' || pstr END AS template
+              FROM parts WHERE host <> ''
+            )
+            SELECT host, template, count(*) AS n_urls,
+                   (template LIKE '%{N}%' AND count(*) >= 20) AS is_trap_candidate
+            FROM templ GROUP BY host, template
         """,
         # snapshot_diff twin: same synthetic two-crawl construction
         "snapshot_diff": """

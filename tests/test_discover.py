@@ -525,3 +525,37 @@ class TestWatSink:
         assert hm["Head"]["Title"] == "A B"
         assert len(hm["Links"]) == 3
         assert hm["Links"][0] == {"path": "A@/href", "url": "/x"}
+
+
+class TestTrapDetection:
+    def test_url_template(self, spark):
+        from hydra_spark.crawl.traps import url_template
+
+        rows = spark.createDataFrame(
+            [
+                ("https://Ex.COM/p/31/x?b=2&a=1&b=3",),
+                ("https://ex.com/about",),
+                ("https://ex.com/y2024/m03?",),
+            ],
+            "url string",
+        ).select(url_template("url").alias("t")).collect()
+        assert [r.t for r in rows] == [
+            "ex.com/p/{N}/x?a,b",
+            "ex.com/about",
+            "ex.com/y{N}/m{N}",
+        ]
+
+    def test_url_templates_trap_flag(self, spark):
+        from hydra_spark.crawl.traps import url_templates
+
+        urls = [(f"https://trap.example/page/{i}?s={i}",) for i in range(30)]
+        urls += [("https://ok.example/about",)] * 40  # high fan-out but static
+        urls += [("https://small.example/item/1",)]   # variable but tiny
+        df = spark.createDataFrame(urls, "url string")
+        got = {(r.host, r.template): r for r in url_templates(df, min_urls=20).collect()}
+        assert got[("trap.example", "trap.example/page/{N}?s")].is_trap_candidate
+        assert got[("trap.example", "trap.example/page/{N}?s")].n_urls == 30
+        # static template never flags, whatever its count
+        assert not got[("ok.example", "ok.example/about")].is_trap_candidate
+        # variable but below min_urls
+        assert not got[("small.example", "small.example/item/{N}")].is_trap_candidate
