@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_template", "url_templates"]
+__all__ = ["url_template", "url_templates", "trap_exclusion_patterns"]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)"
@@ -73,3 +73,25 @@ def url_templates(
         "n_urls",
         (variable & (F.col("n_urls") >= min_urls)).alias("is_trap_candidate"),
     )
+
+
+def trap_exclusion_patterns(
+    templates: DataFrame, max_patterns: int = 1000
+) -> list[str]:
+    """SQL LIKE exclusion patterns for the flagged templates — the glue
+    into the F1 excluded-patterns path (reference db/resource.py:157-170
+    semantics): append to ``cfg.excluded_patterns`` via ``cfg.with_``
+    and `select_batch.eligible_frontier` drops the trap URL space from
+    every later round. ``{N}`` collapses to ``%``; the param-name
+    suffix is dropped so any value combination matches. Driver-side by
+    design — the flagged set is a bounded report (``max_patterns``
+    rows, largest fan-out first), never corpus-sized."""
+    rows = (
+        templates.where("is_trap_candidate")
+        .orderBy(F.desc("n_urls"), F.asc("template"))
+        .limit(max_patterns)
+        .collect()
+    )
+    return [
+        "%://" + r.template.split("?")[0].replace("{N}", "%") + "%" for r in rows
+    ]

@@ -559,3 +559,25 @@ class TestTrapDetection:
         assert not got[("ok.example", "ok.example/about")].is_trap_candidate
         # variable but below min_urls
         assert not got[("small.example", "small.example/item/{N}")].is_trap_candidate
+
+    def test_trap_exclusion_feeds_f1_path(self, spark):
+        """End-to-end: flagged templates become LIKE patterns that the
+        existing eligibility filter (F1) enforces on later rounds."""
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.select_batch import eligible_frontier
+        from hydra_spark.crawl.traps import trap_exclusion_patterns, url_templates
+
+        urls = [(f"https://trap.example/page/{i}?s={i}",) for i in range(30)]
+        urls += [("https://ok.example/data.csv",)]
+        df = spark.createDataFrame(urls, "url string")
+        pats = trap_exclusion_patterns(url_templates(df, min_urls=20))
+        assert pats == ["%://trap.example/page/%%"]
+
+        frontier = df.selectExpr(
+            "url", "false AS deleted", "CAST(NULL AS string) AS status"
+        )
+        cfg = DEFAULT.with_(
+            excluded_patterns=DEFAULT.excluded_patterns + tuple(pats)
+        )
+        left = [r.url for r in eligible_frontier(frontier, cfg).collect()]
+        assert left == ["https://ok.example/data.csv"]
