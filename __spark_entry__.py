@@ -999,6 +999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents").select("doc_id", "source"), rates
         )
 
+    def q_exact_sample(spark, sf):  # webtext: fixed-budget sampler
+        from hydra_spark.ml import webtext
+
+        return webtext.exact_stratified_sample(
+            _t(spark, sf, "documents").select("doc_id", "source"), 10
+        )
+
     def q_domain_mix(spark, sf):  # webtext: temperature-scaled corpus mixing
         from hydra_spark.ml import webtext
 
@@ -1439,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "unigram_lm": q_unigram_lm,
         "stratified_sample": q_stratified_sample,
+        "exact_sample": q_exact_sample,
         "domain_mix": q_domain_mix,
         "redact_pii": q_redact_pii,
         "corpus_token_stats": q_corpus_token_stats,
@@ -2132,6 +2140,21 @@ def oracle_sql() -> dict[str, str]:
                      << (4*(8-i)) for i in range(1,9)]) / 4294967296.0
                   < CASE CAST(substring(source, 4) AS INT) % 4
                       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END
+        """,
+        # exact-sample twin: rank by the seed-13 md5 uniform within each
+        # source, keep the first 10 (ties -> doc_id, matching Spark)
+        "exact_sample": r"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY list_sum([(strpos('0123456789abcdef',
+                         substring(md5('13|' || CAST(doc_id AS VARCHAR)), i, 1))-1)::BIGINT
+                         << (4*(8-i)) for i in range(1,9)]) / 4294967296.0,
+                       doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 10
         """,
         # domain-mix twin: w_d = T_d^0.7, keep rate min(1, budget*share/T),
         # membership by the seed-17 md5 uniform

@@ -176,6 +176,9 @@ def main() -> None:
             "domain_mix": lambda: webtext.domain_mix(
                 docs, budget_tokens=500_000, alpha=0.7
             ),
+            "exact_sample": lambda: webtext.exact_stratified_sample(
+                docs.select("doc_id", "source"), 500
+            ),
             "stratified_sample": lambda: webtext.stratified_sample(
                 docs.select("doc_id", "source"),
                 {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)},

@@ -55,6 +55,7 @@ __all__ = [
     "perplexity_buckets",
     "uniform_hash",
     "stratified_sample",
+    "exact_stratified_sample",
     "domain_mix",
     "leakage_safe_splits",
     "redact_pii",
@@ -309,6 +310,35 @@ def stratified_sample(
         F.lit(float(default_rate)),
     )
     return df.where(uniform_hash(F.col(key_col).cast("string"), seed) < rate)
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer when the
+    stratum is smaller) — the fixed-BUDGET twin of `stratified_sample`'s
+    fixed-RATE filter: evaluation sets, per-language quotas, "10k docs
+    per source" audits. The sample is the first n rows in
+    `uniform_hash` order (ties broken by key), so it is deterministic
+    at any parallelism, engine-reproducible, and a stratum's sample is
+    a PREFIX: growing the budget only adds rows, never swaps them out
+    (nested samples, the property repeated-eval pipelines rely on).
+
+    Scale: rank-within-group ≤ n compiles to WindowGroupLimit — Spark
+    keeps a bounded per-group heap on the map side and again post-
+    shuffle, so no stratum is ever fully sorted or materialized; ONE
+    shuffle on the stratum key."""
+    u = uniform_hash(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
 
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

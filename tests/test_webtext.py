@@ -630,3 +630,33 @@ class TestDomainMix:
         plan = domain_mix(df, 5500)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestExactStratifiedSample:
+    def _corpus(self, spark):
+        rows = [(i, f"src{i % 3}") for i in range(90)] + [(1000, "tiny")]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_exact_counts_and_small_strata(self, spark):
+        from hydra_spark.ml.webtext import exact_stratified_sample
+
+        out = exact_stratified_sample(self._corpus(spark), 10).groupBy("source").count()
+        got = {r.source: r["count"] for r in out.collect()}
+        assert got == {"src0": 10, "src1": 10, "src2": 10, "tiny": 1}
+
+    def test_prefix_property_and_determinism(self, spark):
+        from hydra_spark.ml.webtext import exact_stratified_sample
+
+        df = self._corpus(spark)
+        small = {r.doc_id for r in exact_stratified_sample(df.repartition(13), 5).collect()}
+        big = {r.doc_id for r in exact_stratified_sample(df.repartition(2), 10).collect()}
+        assert small < big  # nested: the 5-sample is a strict prefix of the 10-sample
+
+    def test_plan_uses_window_group_limit(self, spark):
+        from hydra_spark.ml.webtext import exact_stratified_sample
+
+        plan = (
+            exact_stratified_sample(self._corpus(spark), 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan
