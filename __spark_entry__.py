@@ -1187,6 +1187,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_sitemap_urls(docs)
 
+    def q_sitemap_index(spark, sf):  # recursive sitemap walk routing
+        from hydra_spark.crawl.discover import extract_sitemap_entries
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        site = F.concat(
+            F.lit("https://site"), (d % 7).cast("string"), F.lit(".example.org")
+        )
+        idx = F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"), site, F.lit("/maps/"), ds,
+            F.lit("-1.xml</loc></sitemap><sitemap><loc> "), site, F.lit("/maps/"),
+            ds, F.lit("-2.xml?a=1&amp;b=2 </loc></sitemap></sitemapindex>"),
+        )
+        urlset = F.concat(
+            F.lit("<urlset><url><loc>"), site, F.lit("/page/"), ds,
+            F.lit("</loc></url><url><loc>bogus</loc></url></urlset>"),
+        )
+        xml = F.when(d % 5 == 0, idx).otherwise(urlset)
+        docs = _t(spark, sf, "documents").select(
+            F.concat(site, F.lit("/sitemap.xml")).alias("url"),
+            F.encode(xml, "UTF-8").alias("xml"),
+        )
+        return extract_sitemap_entries(docs)
+
     def q_warc_parse(spark, sf):  # WARC segment build + parse roundtrip
         from hydra_spark.analysis import warc as W
 
@@ -1465,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
+        "sitemap_index": q_sitemap_index,
         "warc_parse": q_warc_parse,
         "wat_extract": q_wat_extract,
         "host_rank": q_host_rank,
@@ -2707,6 +2732,26 @@ def oracle_sql() -> dict[str, str]:
                            'https://site' || (doc_id % 7) || '.example.org/page/'
                              || doc_id]) AS loc
             FROM documents
+        """,
+        # sitemap_index twin: the same mixed index/urlset grammar in
+        # closed form (index when doc_id%5=0, else a one-page urlset)
+        "sitemap_index": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     'https://site' || (doc_id % 7) || '.example.org' AS site
+              FROM documents
+            )
+            SELECT site || '/sitemap.xml' AS url,
+                   site || '/maps/' || doc_id || '-1.xml' AS loc,
+                   'sitemap' AS kind
+            FROM base WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT site || '/sitemap.xml',
+                   site || '/maps/' || doc_id || '-2.xml?a=1&b=2', 'sitemap'
+            FROM base WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT site || '/sitemap.xml', site || '/page/' || doc_id, 'page'
+            FROM base WHERE doc_id % 5 <> 0
         """,
         # SURT url-key replay: scheme dropped, www stripped, host
         # reversed, default port dropped / explicit port kept, tail

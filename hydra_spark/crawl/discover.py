@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from hydra_spark.functions.urls import canonicalize_url, host_bucket
 
-__all__ = ["extract_links", "extract_sitemap_urls", "discover_frontier"]
+__all__ = [
+    "extract_links",
+    "extract_sitemap_urls",
+    "extract_sitemap_entries",
+    "discover_frontier",
+]
 
 _HREF_RE = r"""href\s*=\s*["']([^"']+)["']"""
 _ABS_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:"
@@ -144,6 +149,61 @@ def discover_frontier(
     return out.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
 
+def _decode_entities(x):
+    """Undo the five XML escapes sitemaps apply to <loc> URLs."""
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return x
+
+
+def extract_sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "xml",
+    url_col: str = "url",
+    max_urls_per_sitemap: int = 50_000,
+) -> DataFrame:
+    """(url, loc, kind) rows from sitemap payloads, distinguishing the
+    two sitemaps.org container types `extract_sitemap_urls` flattens:
+    ``kind='sitemap'`` for ``<sitemapindex>/<sitemap>`` children (child
+    sitemap files a recursive walk must route BACK to the fetch queue)
+    and ``kind='page'`` for ``<urlset>/<url>`` entries (frontier URLs
+    for `discover_frontier`). A 50k-URL sitemap index fan-out is how
+    large sites (and Common Crawl seed donors) publish their URL space,
+    so the walk is: fetch robots → sitemaps_from_robots → fetch → this
+    → route by kind, loop until no 'sitemap' rows remain (depth-bounded
+    by the caller). Same decode/canonicalize/cap rules as the flat
+    extractor; pure JVM expressions."""
+    xml = F.col(xml_col).cast("string")
+
+    def locs_of(block_re: str):
+        blocks = F.regexp_extract_all(xml, F.lit(block_re), 1)
+        ls = F.transform(
+            blocks,
+            lambda b: canonicalize_url(
+                _decode_entities(F.trim(F.regexp_extract(b, r"<loc>\s*([^<]+?)\s*</loc>", 1)))
+            ),
+        )
+        ls = F.filter(ls, lambda x: x.rlike("^https?://"))
+        return F.slice(F.array_sort(F.array_distinct(ls)), 1, max_urls_per_sitemap)
+
+    children = locs_of(r"(?s)<sitemap>(.*?)</sitemap>")
+    pages = locs_of(r"(?s)<url>(.*?)</url>")
+    entries = F.concat(
+        F.transform(
+            children,
+            lambda x: F.struct(x.alias("loc"), F.lit("sitemap").alias("kind")),
+        ),
+        F.transform(
+            pages, lambda x: F.struct(x.alias("loc"), F.lit("page").alias("kind"))
+        ),
+    )
+    staged = df.select(F.col(url_col).alias("_src_url"), entries.alias("_e"))
+    return staged.select(
+        F.col("_src_url").alias("url"), F.explode("_e").alias("e")
+    ).select("url", F.col("e.loc").alias("loc"), F.col("e.kind").alias("kind"))
+
+
 def extract_sitemap_urls(
     df: DataFrame,
     xml_col: str = "xml",
@@ -157,15 +217,8 @@ def extract_sitemap_urls(
     (sitemaps XML-escape & < > " '), trimmed, canonicalized, distinct.
     Pure JVM expressions; feed the result to `discover_frontier`."""
     xml = F.col(xml_col).cast("string")
-
-    def decode(x):
-        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                        ("&quot;", '"'), ("&apos;", "'")):
-            x = F.replace(x, F.lit(ent), F.lit(ch))
-        return x
-
     locs = F.regexp_extract_all(xml, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1)
-    locs = F.transform(locs, lambda x: canonicalize_url(decode(F.trim(x))))
+    locs = F.transform(locs, lambda x: canonicalize_url(_decode_entities(F.trim(x))))
     locs = F.filter(locs, lambda x: x.rlike("^https?://"))
     locs = F.slice(F.array_sort(F.array_distinct(locs)), 1, max_urls_per_sitemap)
     staged = df.select(F.col(url_col).alias("_src_url"), locs.alias("_locs"))

@@ -581,3 +581,42 @@ class TestTrapDetection:
         )
         left = [r.url for r in eligible_frontier(frontier, cfg).collect()]
         assert left == ["https://ok.example/data.csv"]
+
+
+class TestSitemapIndex:
+    def test_entries_route_by_kind(self, spark):
+        from hydra_spark.crawl.discover import extract_sitemap_entries
+
+        idx = (
+            "<?xml version='1.0'?><sitemapindex>"
+            "<sitemap><loc> https://ex.com/maps/a.xml </loc><lastmod>2024</lastmod></sitemap>"
+            "<sitemap><loc>https://ex.com/maps/b.xml?p=1&amp;q=2</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        urlset = (
+            "<urlset><url><loc>https://ex.com/p/1</loc></url>"
+            "<url><loc>https://ex.com/p/2</loc><priority>.5</priority></url>"
+            "<url><loc>bogus</loc></url></urlset>"
+        )
+        df = spark.createDataFrame(
+            [("https://ex.com/sitemap.xml", idx.encode()),
+             ("https://ex.com/maps/a.xml", urlset.encode())],
+            "url string, xml binary",
+        )
+        got = {(r.url, r.loc, r.kind) for r in extract_sitemap_entries(df).collect()}
+        assert got == {
+            ("https://ex.com/sitemap.xml", "https://ex.com/maps/a.xml", "sitemap"),
+            ("https://ex.com/sitemap.xml", "https://ex.com/maps/b.xml?p=1&q=2", "sitemap"),
+            ("https://ex.com/maps/a.xml", "https://ex.com/p/1", "page"),
+            ("https://ex.com/maps/a.xml", "https://ex.com/p/2", "page"),
+        }
+
+    def test_flat_extractor_unchanged(self, spark):
+        # the legacy flattener still reads BOTH container types as locs
+        from hydra_spark.crawl.discover import extract_sitemap_urls
+
+        df = spark.createDataFrame(
+            [("s", b"<sitemapindex><sitemap><loc>https://e.com/a.xml</loc></sitemap></sitemapindex>")],
+            "url string, xml binary",
+        )
+        assert [r.loc for r in extract_sitemap_urls(df).collect()] == ["https://e.com/a.xml"]
