@@ -914,6 +914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_layers"),
         )
 
+    def q_sessionize(spark, sf):  # gap-based event sessionization
+        from hydra_spark.stats import sessionize
+
+        return sessionize(_t(spark, sf, "events"))
+
     def q_queue_depth(spark, sf):  # A10 over a real frontier, all tiers
         from hydra_spark.datagen import generate_frontier
         from hydra_spark.stats import queue_depth
@@ -1448,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_inspect": q_csv_inspect,
         "ogc_metadata": q_ogc_metadata,
         "queue_depth": q_queue_depth,
+        "sessionize": q_sessionize,
         "all_checks_join": q_all_checks_join,
         "partitioned_export": q_partitioned_export,
         "fingerprint": q_fingerprint,
@@ -1839,6 +1845,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 2 = 0 THEN 'ns:layer_' || CAST(i % 4 AS VARCHAR) END AS detected_layer,
                    CAST(i % 4 + 1 AS INT) AS n_layers
             FROM range(30) t(i)
+        """,
+        # sessionize twin: gaps-and-islands with the 30-min rule; Spark
+        # floors timestamps to seconds (cast long), so epoch() is
+        # floored here too; SUM-over-int is HUGEINT in DuckDB -> cast
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+                   count(*) AS n_events,
+                   CAST(floor(epoch(max(ts))) AS BIGINT)
+                   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+            FROM numbered GROUP BY user_id, session_id
         """,
         "queue_depth": f"""
             SELECT tier, count(*) AS count FROM (

@@ -138,3 +138,59 @@ def orphan_tables(tables_index: DataFrame, frontier: DataFrame) -> DataFrame:
     appears in the live catalog → left_anti join."""
     live = frontier.where(~F.col("deleted")).select(F.md5("url").alias("parsing_table"))
     return tables_index.select("parsing_table").distinct().join(live, "parsing_table", "left_anti")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization of an event log — the crawl-log /
+    access-log analytic the reference's aggregate routes stop short of
+    (and the batch twin of Structured Streaming's session_window): an
+    inactivity gap > ``gap_minutes`` starts a new session. Returns one
+    row per session: (user_id, session_id ordinal per user, start_s,
+    end_s, n_events, duration_s).
+
+    Scale: classic gaps-and-islands — ONE shuffle on the user key
+    serves both the lag/cumulative-sum window AND the per-session
+    aggregate (HashPartitioning(user) satisfies the groupBy's clustered
+    distribution on (user, session), so Catalyst inserts no second
+    exchange; gated in test_catalog_stats). Session state never sits in
+    driver memory and no per-user data leaves its partition."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (
+            (F.col(ts_col).cast("timestamp").cast("long")
+             - prev.cast("timestamp").cast("long")) > gap_minutes * 60
+        )
+    ).cast("int")
+    cum = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = events.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col)
+    ).withColumn("_sess", F.sum(new_sess).over(cum))
+    return (
+        staged.groupBy(user_col, "_sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("_start"),
+            F.max(ts_col).alias("_end"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("_sess").alias("session_id"),
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format("_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+            "n_events",
+            (
+                F.col("_end").cast("timestamp").cast("long")
+                - F.col("_start").cast("timestamp").cast("long")
+            ).alias("duration_s"),
+        )
+    )

@@ -112,3 +112,43 @@ def test_orphan_tables(spark, crawled):
     # delete every frontier row → all parsed tables orphaned
     dead = fr.withColumn("deleted", F.lit(True))
     assert stats.orphan_tables(ti, dead).count() == ti.select("parsing_table").distinct().count()
+
+
+class TestSessionize:
+    def _events(self, spark):
+        rows = [
+            # user 1: two sessions split by a 45-min gap
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 1, "2024-01-01 10:10:00"),
+            (3, 1, "2024-01-01 10:55:00"),
+            (4, 1, "2024-01-01 11:00:00"),
+            # user 2: one event = one session
+            (5, 2, "2024-01-01 09:00:00"),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string"
+        ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+
+    def test_sessions(self, spark):
+        got = {
+            (r.user_id, r.session_id): r
+            for r in stats.sessionize(self._events(spark)).collect()
+        }
+        assert set(got) == {(1, 1), (1, 2), (2, 1)}
+        s11, s12, s21 = got[(1, 1)], got[(1, 2)], got[(2, 1)]
+        assert (s11.n_events, s11.duration_s) == (2, 600)
+        assert (s12.n_events, s12.start_s) == (2, "2024-01-01 10:55:00")
+        assert (s21.n_events, s21.duration_s) == (1, 0)
+        # gap boundary: exactly 30:00 is the SAME session (> gap starts new)
+        two = stats.sessionize(self._events(spark), gap_minutes=45)
+        assert two.where("user_id = 1").count() == 1
+
+    def test_single_exchange_plan(self, spark):
+        """The window shuffle on user_id is reused by the per-session
+        aggregate — no second exchange."""
+        plan = (
+            stats.sessionize(self._events(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
