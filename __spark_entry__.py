@@ -996,6 +996,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # small vocab so the OOV smoothing path is exercised
         return webtext.unigram_lm_score(_t(spark, sf, "documents"), vocab_size=20)
 
+    def q_bigram_lm(spark, sf):  # webtext: interpolated bigram LM
+        from hydra_spark.ml import webtext
+
+        # vocab_size 20 < the corpus's 31-word vocabulary, so BOTH
+        # truncation and the OOV backoff path are active in the oracle
+        return webtext.bigram_lm_score(_t(spark, sf, "documents"), vocab_size=20)
+
     def q_stratified_sample(spark, sf):  # webtext: corpus-mixing sampler
         from hydra_spark.ml import webtext
 
@@ -1475,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_spans": q_decontaminate_spans,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
         "stratified_sample": q_stratified_sample,
         "exact_sample": q_exact_sample,
         "domain_mix": q_domain_mix,
@@ -2187,6 +2195,39 @@ def oracle_sql() -> dict[str, str]:
                    FROM w LEFT JOIN vocab v USING (word) CROSS JOIN tot t)
             SELECT doc_id, count(*) AS n_words,
                    CAST(round(-avg(lp), 6) AS DOUBLE) AS lm_score
+            FROM sc GROUP BY 1
+        """,
+        # bigram_lm twin: Jelinek-Mercer interpolation with the same
+        # truncated tables; (1.0 - 0.7) is COMPUTED (not the literal 0.3)
+        # so both engines use the identical IEEE subtraction result
+        "bigram_lm": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+            words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM words),
+            uni AS (SELECT word, count(*) AS cnt_u FROM words GROUP BY 1
+                    ORDER BY cnt_u DESC, word LIMIT 20),
+            pairs AS (
+              SELECT doc_id, ws[i] AS prev, ws[i+1] AS w FROM (
+                SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                FROM w WHERE len(ws) >= 2)
+            ),
+            big AS (SELECT prev, w, count(*) AS cnt_b FROM pairs GROUP BY 1, 2
+                    ORDER BY cnt_b DESC, prev, w LIMIT 20),
+            sc AS (
+              SELECT p.doc_id,
+                     log10(0.7 * (coalesce(CAST(b.cnt_b AS DOUBLE), 0.0)
+                                  / coalesce(CAST(up.cnt_u AS DOUBLE), 0.5))
+                           + (1.0 - 0.7) * coalesce(CAST(uw.cnt_u AS DOUBLE), 0.5)
+                             / t.total) AS lp
+              FROM pairs p
+              LEFT JOIN big b ON p.prev = b.prev AND p.w = b.w
+              LEFT JOIN uni up ON p.prev = up.word
+              LEFT JOIN uni uw ON p.w = uw.word
+              CROSS JOIN tot t)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(round(-avg(lp), 6) AS DOUBLE) AS lm2_score
             FROM sc GROUP BY 1
         """,
         # uniform_hash twin: first 8 md5 nibbles of '13|<doc_id>' over 2^32;

@@ -166,6 +166,7 @@ def main() -> None:
                 docs.where("source <> 'src0'"), docs.where("source = 'src0'"), n=4
             ),
             "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),
+            "bigram_lm": lambda: webtext.bigram_lm_score(docs, vocab_size=20),
             "redact_pii": lambda: webtext.redact_pii(docs),
             "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
             "pack_sequences": lambda: webtext.pack_sequences(docs, window=64),

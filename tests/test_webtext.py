@@ -660,3 +660,30 @@ class TestExactStratifiedSample:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestBigramLM:
+    def test_order_sensitivity_and_backoff(self, spark):
+        from hydra_spark.ml.webtext import bigram_lm_score
+
+        fluent = "the cat sat on the mat"
+        rows = [(i, fluent) for i in range(10)]
+        rows.append((100, "mat the on sat cat the"))  # same words, unseen order
+        rows.append((200, "solo",))                   # <2 words -> not scored
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_lm_score(df, vocab_size=1000).collect()}
+        assert 200 not in got
+        assert got[0].n_bigrams == 5
+        # the attested order scores strictly better (lower) than the shuffle
+        assert got[0].lm2_score < got[100].lm2_score
+        # all copies of the fluent doc score identically
+        assert len({got[i].lm2_score for i in range(10)}) == 1
+
+    def test_deterministic_across_partitionings(self, spark):
+        from hydra_spark.ml.webtext import bigram_lm_score
+
+        rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} end") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, bigram_lm_score(df.repartition(1)).collect()))
+        b = sorted(map(tuple, bigram_lm_score(df.repartition(16)).collect()))
+        assert a == b
