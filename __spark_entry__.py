@@ -1050,6 +1050,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return webtext.corpus_token_stats(_t(spark, sf, "documents"))
 
+    def q_robots_rfc(spark, sf):  # RFC 9309 full matching, E2E verdicts
+        # every host publishes the same Allow/wildcard file; each URL's
+        # verdict is closed-form: %4==0 blocked by the /private/ prefix,
+        # %4==1 rescued by the LONGER Allow, %4==2 blocked by the
+        # anchored wildcard /*.tmp$, %4==3 saved by the $ anchor
+        from hydra_spark.crawl.robots import (
+            rfc_rules_from_robots_pages,
+            split_robots_rfc,
+        )
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.com"))
+        path = (
+            F.when(d % 4 == 0, F.concat(F.lit("/private/file"), ds))
+            .when(d % 4 == 1, F.concat(F.lit("/private/open/file"), ds))
+            .when(d % 4 == 2, F.concat(F.lit("/cache/"), ds, F.lit(".tmp")))
+            .otherwise(F.concat(F.lit("/pub/"), ds, F.lit(".tmp.html")))
+        )
+        batch = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://"), host, path).alias("url"),
+            host.alias("domain"),
+        )
+        body = (
+            "User-agent: *\nDisallow: /private/\n"
+            "Allow: /private/open/\nDisallow: /*.tmp$\n"
+        )
+        pages = (
+            batch.select("domain")
+            .distinct()
+            .select("domain", F.lit(body.encode()).alias("body"))
+        )
+        allowed, blocked = split_robots_rfc(batch, rfc_rules_from_robots_pages(pages))
+        return allowed.withColumn("blocked", F.lit(False)).unionByName(
+            blocked.withColumn("blocked", F.lit(True))
+        )
+
     def q_url_templates(spark, sf):  # frontier hygiene: trap templates
         from hydra_spark.crawl.traps import url_templates
 
@@ -1491,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "snapshot_diff": q_snapshot_diff,
         "url_templates": q_url_templates,
+        "robots_rfc": q_robots_rfc,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "quality_classifier": q_quality_classifier,
@@ -2310,6 +2348,18 @@ def oracle_sql() -> dict[str, str]:
                    n_emails, n_ips,
                    CAST(len(regexp_extract_all(t2, '\+?\d[\d .-]{7,}\d')) AS INT) AS n_phones
             FROM i
+        """,
+        # robots_rfc twin: the verdicts in closed form per the grammar
+        "robots_rfc": """
+            SELECT 'https://h' || (doc_id % 5) || '.example.com' ||
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/private/file' || doc_id
+                     WHEN 1 THEN '/private/open/file' || doc_id
+                     WHEN 2 THEN '/cache/' || doc_id || '.tmp'
+                     ELSE '/pub/' || doc_id || '.tmp.html' END AS url,
+                   'h' || (doc_id % 5) || '.example.com' AS domain,
+                   (doc_id % 4 = 0 OR doc_id % 4 = 2) AS blocked
+            FROM documents
         """,
         # url_templates twin: same URL grammar, template via the same
         # digit-collapse + sorted-param-name rules (regexp_replace needs

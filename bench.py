@@ -217,6 +217,7 @@ def main() -> None:
             "link_extract": lambda: q["link_extract"](spark, sf_dir),
             "url_templates": lambda: q["url_templates"](spark, sf_dir),
             "sessionize": lambda: q["sessionize"](spark, sf_dir),
+            "robots_rfc": lambda: q["robots_rfc"](spark, sf_dir),
             "warc_parse": lambda: q["warc_parse"](spark, sf_dir),
         }
         for name, fn in hot.items():

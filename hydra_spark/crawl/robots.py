@@ -18,7 +18,7 @@ the path test is a pure column expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ROBOTS_ERROR = "blocked by robots.txt"
@@ -226,3 +226,142 @@ def crawl_delays_from_robots_pages(
             yield pd.DataFrame(rows, columns=["domain", "crawl_delay"])
 
     return robots_pages.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 full matching (Allow + wildcards + $), next to the fast
+# prefix-only path above
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_rules(body: str, agent: str = "hydra") -> list[tuple[str, bool]]:
+    """Full-rule variant of `parse_robots_txt`: (pattern, is_allow)
+    pairs for the group that applies to `agent`, keeping `Allow:` lines
+    and wildcard patterns intact (RFC 9309 §2.2.2-2.2.3: `*` matches
+    any octet sequence, a trailing `$` anchors the end). Same group
+    semantics as the prefix parser: consecutive User-agent lines share
+    a group, an exact agent match beats `*` groups entirely, and an
+    empty value is a no-op rule."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] | None = None
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if cur_rules is not None:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], None
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow"):
+            if cur_rules is None:
+                cur_rules = []
+            if cur_agents and val:
+                cur_rules.append((val, key == "allow"))
+        elif cur_agents and cur_rules is None:
+            cur_rules = []
+    if cur_agents:
+        groups.append((cur_agents, cur_rules or []))
+
+    exact = [r for agents, rules in groups if agent.lower() in agents for r in rules]
+    if any(agent.lower() in agents for agents, _ in groups):
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex: literal segments are
+    escaped, `*` becomes `.*`, a trailing `$` becomes the end anchor.
+    re.escape (3.7+) only backslashes regex metacharacters, all of
+    which escape identically in Java regex and RE2 — the same string
+    drives Spark's regexp_like and any SQL oracle."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    rx = "^" + ".*".join(_re.escape(p) for p in pattern.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def rfc_rules_from_robots_pages(
+    robots_pages: DataFrame, agent: str = "hydra"
+) -> DataFrame:
+    """(domain, body) fetches → the `(domain, pattern, regex, is_allow)`
+    table `split_robots_rfc` consumes. Same mapInPandas shape as the
+    prefix extractor: python runs once per HOST row, never per URL."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("domain", T.StringType()),
+            T.StructField("pattern", T.StringType()),
+            T.StructField("regex", T.StringType()),
+            T.StructField("is_allow", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for domain, body in pdf[["domain", "body"]].itertuples(index=False):
+                if body is None:
+                    continue
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if isinstance(body, (bytes, bytearray))
+                    else body
+                )
+                for pat, is_allow in parse_robots_rules(text, agent):
+                    rows.append((domain, pat, robots_pattern_regex(pat), is_allow))
+            yield pd.DataFrame(rows, columns=["domain", "pattern", "regex", "is_allow"])
+
+    return robots_pages.mapInPandas(gen, schema=schema)
+
+
+def split_robots_rfc(batch: DataFrame, rules: DataFrame | None, key_col: str = "url"):
+    """(allowed, blocked) under FULL RFC 9309 matching: among the
+    domain's rules whose pattern matches the URL path, the longest
+    pattern (octet length) wins; an Allow beats a Disallow of equal
+    length; no match → allowed. This is the conformance path for
+    Allow-carve-out files ("Disallow: /" + "Allow: /public/") and
+    wildcard rules the prefix fast path `split_robots` cannot express —
+    keep the fast path for prefix-only rule sets (zero shuffle); this
+    one pays ONE batch-sized shuffle (the per-URL winner window) per
+    round, still nothing on the frontier's scale axis. The rule side
+    broadcasts; matching is JVM regexp_like on the pre-translated
+    regex column."""
+    if rules is None:
+        return batch, None
+    path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]+", "")
+    b = batch.withColumn("_path", F.when(path == "", "/").otherwise(path))
+    r = F.broadcast(
+        rules.select(
+            F.col("domain").alias("_rdom"),
+            F.col("regex").alias("_rx"),
+            F.col("is_allow").alias("_ra"),
+            F.length("pattern").alias("_plen"),
+        )
+    )
+    m = b.join(
+        r,
+        (F.col("domain") == F.col("_rdom")) & F.regexp_like(F.col("_path"), F.col("_rx")),
+        "left",
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc_nulls_last("_plen"), F.desc_nulls_last("_ra")
+    )
+    verdict = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn("_blocked", F.coalesce(~F.col("_ra"), F.lit(False)))
+    )
+    drop = ["_path", "_rdom", "_rx", "_ra", "_plen", "_rn", "_blocked"]
+    allowed = verdict.where(~F.col("_blocked")).drop(*drop)
+    blocked = verdict.where(F.col("_blocked")).drop(*drop)
+    return allowed, blocked

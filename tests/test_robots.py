@@ -148,3 +148,85 @@ class TestSitemapsFromRobots:
             [Row(url="https://h.example.com/robots.txt", body=b"User-agent: *\nDisallow:")]
         )
         assert sitemaps_from_robots(df).count() == 0
+
+
+class TestRfcMatching:
+    BODY = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/open/\n"
+        "Disallow: /*.tmp$\n"
+    )
+
+    def test_parse_keeps_allow_and_wildcards(self):
+        from hydra_spark.crawl.robots import parse_robots_rules
+
+        assert parse_robots_rules(self.BODY) == [
+            ("/private/", False),
+            ("/private/open/", True),
+            ("/*.tmp$", False),
+        ]
+        # exact agent group still beats *
+        body = "User-agent: hydra\nAllow: /x\n" + self.BODY
+        assert parse_robots_rules(body) == [("/x", True)]
+
+    def test_pattern_regex(self):
+        import re
+
+        from hydra_spark.crawl.robots import robots_pattern_regex
+
+        rx = robots_pattern_regex("/*.tmp$")
+        assert re.search(rx, "/cache/1.tmp")
+        assert not re.search(rx, "/a.tmp.html")  # $ anchors the end
+        rx2 = robots_pattern_regex("/fish*.php")
+        # Google's published wildcard examples: both match without a $
+        assert re.search(rx2, "/fishheads/catfish.php?x=1")
+        assert re.search(rx2, "/fishheads/catfish.php")
+        assert re.search(rx2, "/Fish.PHP") is None  # case-sensitive
+        # regex metachars in paths stay literal
+        assert re.search(robots_pattern_regex("/a+b(c)"), "/a+b(c)/d")
+
+    def test_split_robots_rfc_precedence(self, spark):
+        from hydra_spark.crawl.robots import (
+            rfc_rules_from_robots_pages,
+            split_robots_rfc,
+        )
+
+        pages = spark.createDataFrame(
+            [("h.example", self.BODY.encode())], "domain string, body binary"
+        )
+        rules = rfc_rules_from_robots_pages(pages)
+        batch = spark.createDataFrame(
+            [
+                ("https://h.example/private/a", "h.example"),      # blocked
+                ("https://h.example/private/open/a", "h.example"), # longer Allow wins
+                ("https://h.example/cache/1.tmp", "h.example"),    # wildcard+$ blocks
+                ("https://h.example/1.tmp.html", "h.example"),     # $ saves it
+                ("https://h.example/", "h.example"),               # no match -> allowed
+                ("https://other.example/private/a", "other.example"),  # no rules -> allowed
+            ],
+            "url string, domain string",
+        )
+        allowed, blocked = split_robots_rfc(batch, rules)
+        assert {r.url.split("/", 3)[-1] for r in blocked.collect()} == {
+            "private/a", "cache/1.tmp"
+        }
+        assert allowed.count() == 4
+        # schema passthrough: helper columns dropped
+        assert set(allowed.columns) == {"url", "domain"}
+
+    def test_equal_length_tie_prefers_allow(self, spark):
+        from hydra_spark.crawl.robots import (
+            rfc_rules_from_robots_pages,
+            split_robots_rfc,
+        )
+
+        body = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+        pages = spark.createDataFrame(
+            [("h.example", body.encode())], "domain string, body binary"
+        )
+        batch = spark.createDataFrame(
+            [("https://h.example/page", "h.example")], "url string, domain string"
+        )
+        allowed, blocked = split_robots_rfc(batch, rfc_rules_from_robots_pages(pages))
+        assert allowed.count() == 1 and blocked.count() == 0
