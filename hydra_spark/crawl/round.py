@@ -125,7 +125,16 @@ def run_round(
     # without this the two selection windows recompute per consumer
     batch = select_batch(frontier, lc, cfg, round_id, now).persist()
     go, held = split_backoff(batch, domain_backoff(checks, cfg, now, crawl_delays=crawl_delays))
-    go, robots_blocked = split_robots(go, robots_rules)
+    # dispatch on the rule table's shape: RFC tables (from
+    # rfc_rules_from_robots_pages) carry a pre-translated regex column
+    # and go through full Allow/wildcard precedence; prefix tables keep
+    # the zero-shuffle semi/anti fast path
+    if robots_rules is not None and "regex" in robots_rules.columns:
+        from hydra_spark.crawl.robots import split_robots_rfc
+
+        go, robots_blocked = split_robots_rfc(go, robots_rules, key_col="resource_id")
+    else:
+        go, robots_blocked = split_robots(go, robots_rules)
 
     fetched = simulate_fetch(go, pages, cfg, round_id, now)
 

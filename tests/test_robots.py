@@ -230,3 +230,36 @@ class TestRfcMatching:
         )
         allowed, blocked = split_robots_rfc(batch, rfc_rules_from_robots_pages(pages))
         assert allowed.count() == 1 and blocked.count() == 0
+
+    def test_run_round_dispatches_rfc_rules(self, spark, tmp_path):
+        """E2E: an RFC rule table (regex column) routes through full
+        matching inside run_crawl — the Allow carve-out is fetched, the
+        rest of /private/ lands as robots-error checks."""
+        from pyspark.sql import functions as F
+
+        from hydra_spark.crawl.robots import rfc_rules_from_robots_pages
+
+        pages = generate_pages(spark, 800, n_hosts=6).cache()
+        frontier = generate_frontier(spark, pages)
+        domains = frontier.selectExpr(
+            "parse_url(url, 'HOST') AS domain"
+        ).distinct()
+        body = "User-agent: *\nDisallow: /\nAllow: /dataset/\n"
+        rules = rfc_rules_from_robots_pages(
+            domains.select("domain", F.lit(body.encode()).alias("body"))
+        )
+        store = StateStore(str(tmp_path))
+        init_state(store, frontier)
+        res = run_crawl(
+            spark, store, pages,
+            DEFAULT.with_(batch_size=100_000, backoff_nb_req=100_000),
+            rounds=1, robots_rules=rules,
+        )
+        checks = store.checks.read(spark)
+        blocked = checks.where(checks.error == ROBOTS_ERROR)
+        fetched = checks.where(checks.error.isNull() | (checks.error != ROBOTS_ERROR))
+        assert res[0]["n_robots_blocked"] == blocked.count() > 0
+        # every fetched URL sits under the Allow carve-out; every
+        # blocked one does not
+        assert fetched.where(~checks.url.contains("/dataset/")).count() == 0
+        assert blocked.where(checks.url.contains("/dataset/")).count() == 0
