@@ -1260,6 +1260,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_sitemap_entries(docs)
 
+    def q_warc_dedup(spark, sf):  # CC revisit-record payload dedup
+        # 50 distinct payloads shared across all docs: the first capture
+        # (min url — all dates equal) is the response, the rest revisit
+        # records whose WARC-Refers-To resolves back to it; the verdict
+        # triple (url, type, canonical url) is closed-form
+        import tempfile
+
+        from hydra_spark.analysis.warc import read_warc, write_warc_dedup
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        url = F.concat(
+            F.lit("https://host"), (d % 10).cast("string"),
+            F.lit(".example.com/doc"), ds, F.lit(".html"),
+        )
+        payload = F.encode(
+            F.concat(F.lit("payload-"), (d % 50).cast("string")), "UTF-8"
+        )
+        df = _t(spark, sf, "documents").select(
+            url.alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            payload.alias("html"),
+        )
+        out = tempfile.mkdtemp(prefix="hydra_warc_dedup_")
+        write_warc_dedup(df, out).collect()
+        recs = read_warc(spark, out).select(
+            "target_uri", "warc_type", "record_id", "refers_to"
+        )
+        resp = recs.where("warc_type = 'response'").select(
+            F.col("record_id").alias("_rid"), F.col("target_uri").alias("canon_url")
+        )
+        return (
+            recs.select(
+                "target_uri",
+                F.col("warc_type").alias("wtype"),
+                F.coalesce("refers_to", "record_id").alias("_ref"),
+            )
+            .join(resp, F.col("_ref") == F.col("_rid"))
+            .select(F.col("target_uri").alias("url"), "wtype", "canon_url")
+        )
+
     def q_warc_parse(spark, sf):  # WARC segment build + parse roundtrip
         from hydra_spark.analysis import warc as W
 
@@ -1542,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
         "sitemap_index": q_sitemap_index,
+        "warc_dedup": q_warc_dedup,
         "warc_parse": q_warc_parse,
         "wat_extract": q_wat_extract,
         "host_rank": q_host_rank,
@@ -2856,6 +2898,21 @@ def oracle_sql() -> dict[str, str]:
                            'https://site' || (doc_id % 7) || '.example.org/page/'
                              || doc_id]) AS loc
             FROM documents
+        """,
+        # warc_dedup twin: group = doc_id%50, canonical = min url
+        "warc_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://host' || (doc_id % 10) || '.example.com/doc'
+                       || doc_id || '.html' AS url,
+                     doc_id % 50 AS grp
+              FROM documents),
+            c AS (SELECT grp, min(url) AS canon FROM u GROUP BY grp)
+            SELECT u.url,
+                   CASE WHEN u.url = c.canon THEN 'response'
+                        ELSE 'revisit' END AS wtype,
+                   c.canon AS canon_url
+            FROM u JOIN c USING (grp)
         """,
         # sitemap_index twin: the same mixed index/urlset grammar in
         # closed form (index when doc_id%5=0, else a one-page urlset)

@@ -219,6 +219,7 @@ def main() -> None:
             "sessionize": lambda: q["sessionize"](spark, sf_dir),
             "robots_rfc": lambda: q["robots_rfc"](spark, sf_dir),
             "warc_parse": lambda: q["warc_parse"](spark, sf_dir),
+            "warc_dedup": lambda: q["warc_dedup"](spark, sf_dir),
         }
         for name, fn in hot.items():
             t0 = time.time()

@@ -61,11 +61,19 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType(), True),
         T.StructField("content_length", T.LongType(), True),
         T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("refers_to", T.StringType(), True),
         T.StructField("body", T.BinaryType(), True),
     ]
 )
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def record_urn(target_uri: str | None, date: str) -> str:
+    """Deterministic record id: UUID URN from md5(uri|date) — the
+    anchor revisit records point their WARC-Refers-To at."""
+    rid = hashlib.md5(f"{target_uri}|{date}".encode()).hexdigest()
+    return f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
 
 
 def build_warc_record(
@@ -79,8 +87,7 @@ def build_warc_record(
     """One well-formed WARC/1.0 record. ``date`` is the WARC-Date
     string (``YYYY-mm-ddTHH:MM:SSZ``). The record id is a deterministic
     UUID URN from md5(uri|date) so archives replay byte-identically."""
-    rid = hashlib.md5(f"{target_uri}|{date}".encode()).hexdigest()
-    urn = f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
+    urn = record_urn(target_uri, date)
     headers = [
         "WARC/1.0",
         f"WARC-Type: {warc_type}",
@@ -179,6 +186,7 @@ def iter_warc_records(data: bytes | bytearray | memoryview | None) -> Iterator[d
         yield {
             "record_id": fields.get("warc-record-id"),
             "warc_type": fields.get("warc-type"),
+            "refers_to": fields.get("warc-refers-to"),
             "target_uri": fields.get("warc-target-uri"),
             "warc_date": warc_date,
             "content_type": ctype,
@@ -589,3 +597,116 @@ def wat_metadata(records: DataFrame) -> DataFrame:
         html["Head"]["Title"].alias("title"),
         F.transform(html["Links"], lambda l: l["url"]).alias("links"),
     )
+
+
+def write_warc_dedup(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    status_col: str | None = None,
+    content_type: str = "text/html",
+) -> DataFrame:
+    """WARC sink with Common-Crawl-style payload dedup: the FIRST
+    capture of each payload digest (order: date, then URL — total and
+    deterministic) is archived as a full response record; every later
+    capture becomes a `revisit` record (WARC/1.1 identical-payload-
+    digest profile) carrying WARC-Refers-To = the canonical record's
+    deterministic URN, WARC-Refers-To-Target-URI and the payload
+    digest, with only the synthesized HTTP head as its block — the
+    archive stores each distinct body once, which is exactly how CC
+    keeps monthly dumps from re-storing the static web.
+
+    Scale: ONE shuffle keyed on the sha1 digest ranks captures and
+    broadcasts nothing; executors then write segments independently
+    like `write_warc`. Returns the same (path, n_records, n_bytes)
+    manifest, readable with `read_warc` (revisits surface with
+    `refers_to` set)."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    w = Window.partitionBy("x_digest").orderBy(ts_col, url_col)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols = [url_col, ts_col, payload_col] + ([status_col] if status_col else [])
+    proj = (
+        df.select(*cols)
+        .where(F.col(payload_col).isNotNull())
+        .withColumn("x_digest", F.sha1(F.col(payload_col)))
+        .withColumn("x_rn", F.row_number().over(w))
+        .withColumn("x_canon_url", F.first(url_col).over(wall))
+        .withColumn("x_canon_ts", F.first(ts_col).over(wall))
+    )
+
+    def gen(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for row in pdf.itertuples(index=False):
+                url = getattr(row, url_col)
+                ts = getattr(row, ts_col)
+                payload = bytes(getattr(row, payload_col))
+                status = int(getattr(row, status_col)) if status_col else 200
+                date = (
+                    pd.Timestamp(ts).strftime(_DATE_FMT)
+                    if ts is not None
+                    else "1970-01-01T00:00:00Z"
+                )
+                head = (
+                    f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n\r\n"
+                ).encode()
+                digest = f"sha1:{row.x_digest}"
+                if row.x_rn == 1:
+                    recs.append(
+                        build_warc_record(
+                            "response", url, date, head + payload,
+                            extra_headers=[("WARC-Payload-Digest", digest)],
+                        )
+                    )
+                else:
+                    canon_ts = row.x_canon_ts
+                    canon_date = (
+                        pd.Timestamp(canon_ts).strftime(_DATE_FMT)
+                        if canon_ts is not None
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    recs.append(
+                        build_warc_record(
+                            "revisit", url, date, head,
+                            extra_headers=[
+                                ("WARC-Payload-Digest", digest),
+                                ("WARC-Refers-To", record_urn(row.x_canon_url, canon_date)),
+                                ("WARC-Refers-To-Target-URI", row.x_canon_url),
+                                (
+                                    "WARC-Profile",
+                                    "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                                ),
+                            ],
+                        )
+                    )
+            if not recs:
+                continue
+            seg = build_warc(recs)
+            name = hashlib.md5(str(pdf[url_col].iloc[0]).encode()).hexdigest()[:16]
+            path = os.path.join(out_dir, f"part-{name}.warc.gz")
+            with open(path, "wb") as f:
+                f.write(seg)
+            yield pd.DataFrame(
+                [{"path": path, "n_records": len(recs), "n_bytes": len(seg)}]
+            )
+
+    return proj.mapInPandas(gen, schema)

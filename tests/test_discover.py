@@ -620,3 +620,50 @@ class TestSitemapIndex:
             "url string, xml binary",
         )
         assert [r.loc for r in extract_sitemap_urls(df).collect()] == ["https://e.com/a.xml"]
+
+
+class TestWarcDedup:
+    def test_revisit_records_roundtrip(self, spark, tmp_path):
+        from hydra_spark.analysis.warc import read_warc, write_warc_dedup
+
+        rows = [
+            ("https://a.example/1", "2024-01-01 00:00:00", b"BODY-X"),
+            ("https://a.example/2", "2024-01-01 00:01:00", b"BODY-X"),  # revisit
+            ("https://b.example/3", "2024-01-01 00:02:00", b"BODY-X"),  # revisit
+            ("https://b.example/4", "2024-01-01 00:03:00", b"BODY-Y"),  # own payload
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, ts_s string, html binary"
+        ).selectExpr("url", "CAST(ts_s AS TIMESTAMP) AS warc_ts", "html")
+        out = str(tmp_path / "segs")
+        manifest = write_warc_dedup(df.repartition(1), out).collect()
+        assert sum(m.n_records for m in manifest) == 4
+
+        recs = read_warc(spark, out).collect()
+        by_url = {r.target_uri: r for r in recs}
+        assert by_url["https://a.example/1"].warc_type == "response"
+        assert bytes(by_url["https://a.example/1"].body) == b"BODY-X"
+        assert by_url["https://b.example/4"].warc_type == "response"
+        for u in ("https://a.example/2", "https://b.example/3"):
+            r = by_url[u]
+            assert r.warc_type == "revisit"
+            assert r.refers_to == by_url["https://a.example/1"].record_id
+            assert bytes(r.body) == b""  # only the HTTP head, no payload
+        # responses carry no refers_to
+        assert by_url["https://a.example/1"].refers_to is None
+
+    def test_canonical_is_earliest_capture(self, spark, tmp_path):
+        from hydra_spark.analysis.warc import read_warc, write_warc_dedup
+
+        rows = [
+            ("https://z.example/late", "2024-01-02 00:00:00", b"SAME"),
+            ("https://a.example/early", "2024-01-01 00:00:00", b"SAME"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, ts_s string, html binary"
+        ).selectExpr("url", "CAST(ts_s AS TIMESTAMP) AS warc_ts", "html")
+        out = str(tmp_path / "segs")
+        write_warc_dedup(df.repartition(2), out).collect()
+        recs = {r.target_uri: r for r in read_warc(spark, out).collect()}
+        assert recs["https://a.example/early"].warc_type == "response"
+        assert recs["https://z.example/late"].warc_type == "revisit"
