@@ -914,6 +914,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("n_layers"),
         )
 
+    def q_adaptive_recrawl(spark, sf):  # change-rate recrawl scheduling
+        from hydra_spark.crawl.next_check import adaptive_recrawl
+
+        # events as the check history: per user, event_type transitions
+        # are the "content changed" signal ((user_id, ts) is unique, so
+        # the lag order is total)
+        return adaptive_recrawl(
+            _t(spark, sf, "events"),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="event_type",
+        )
+
     def q_sessionize(spark, sf):  # gap-based event sessionization
         from hydra_spark.stats import sessionize
 
@@ -1539,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogc_metadata": q_ogc_metadata,
         "queue_depth": q_queue_depth,
         "sessionize": q_sessionize,
+        "adaptive_recrawl": q_adaptive_recrawl,
         "all_checks_join": q_all_checks_join,
         "partitioned_export": q_partitioned_export,
         "fingerprint": q_fingerprint,
@@ -1933,6 +1947,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 2 = 0 THEN 'ns:layer_' || CAST(i % 4 AS VARCHAR) END AS detected_layer,
                    CAST(i % 4 + 1 AS INT) AS n_layers
             FROM range(30) t(i)
+        """,
+        # adaptive_recrawl twin: same lag-transition counting; the rung
+        # thresholds compare the UNROUNDED rate like the operator
+        "adaptive_recrawl": """
+            WITH h AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id, count(*) AS n_obs,
+                     CAST(sum(CASE WHEN prev IS NOT NULL
+                              AND event_type IS DISTINCT FROM prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+              FROM h GROUP BY 1
+            )
+            SELECT user_id, n_obs, n_changes,
+                   CASE WHEN n_obs > 1
+                        THEN round(n_changes / CAST(n_obs - 1 AS DOUBLE), 6)
+                   END AS change_rate,
+                   CAST(CASE
+                     WHEN n_obs <= 1 THEN 12
+                     WHEN n_changes / CAST(n_obs - 1 AS DOUBLE) >= 2.0/3.0 THEN 12
+                     WHEN n_changes / CAST(n_obs - 1 AS DOUBLE) >= 1.0/3.0 THEN 24
+                     WHEN n_changes > 0 THEN 168
+                     ELSE 720 END AS INT) AS next_delay_hours
+            FROM agg
         """,
         # sessionize twin: gaps-and-islands with the 30-min rule; Spark
         # floors timestamps to seconds (cast long), so epoch() is
