@@ -456,6 +456,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, path, queries_df, k=5, n_probe=8
         ).withColumn("cosine", F.round("cosine", 4))
 
+    def q_ivf_append(spark, sf):
+        # incremental index growth: build on the first half of the
+        # corpus, ivf_append the second; full probe over the updated
+        # index provably equals brute force on the UNION, so the same
+        # exact-top-k oracle covers the append path
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        n_half = emb.count() // 2
+        path = tempfile.mkdtemp(prefix="hydra_ivf_append_") + "/index"
+        similarity.ivf_build_index(
+            emb.where(F.col("vec_id") < n_half), path, n_clusters=8
+        )
+        similarity.ivf_append(spark, path, emb.where(F.col("vec_id") >= n_half))
+        queries_df = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk_indexed(
+            spark, path, queries_df, k=5, n_probe=8
+        ).withColumn("cosine", F.round("cosine", 4))
+
     def q_embedding_near_dups(spark, sf):
         # plant exact duplicates (vec_id+100000), single-bucket coverage
         # (n_planes=0) so the LSH result provably equals the all-pairs
@@ -1561,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "ivf_indexed": q_ivf_indexed,
+        "ivf_append": q_ivf_append,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_components": q_dedup_components,
         "keep_best": q_keep_best,
@@ -1808,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": brute_force_topk,
         "ivf_topk": brute_force_topk,
         "ivf_indexed": brute_force_topk,
+        "ivf_append": brute_force_topk,
         "geojson_coords": """
             SELECT c_custkey,
                    CAST(((c_nationkey * 7) % 180) AS DOUBLE) AS lon,

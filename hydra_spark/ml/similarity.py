@@ -312,6 +312,41 @@ class IvfIndex:
 _INDEX_CACHE: dict[tuple[int, str], IvfIndex] = {}
 
 
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index update — the production path for a GROWING
+    embedding corpus (a monthly crawl adds vectors; rebuilding the
+    whole index per batch re-clusters and rewrites everything): assign
+    the new vectors to the EXISTING centroids (read from the sidecar)
+    and append them to their cluster partitions. Centroids do not move
+    — after heavy drift a periodic `ivf_build_index` re-trains, exactly
+    the add-then-retrain cadence FAISS/IVF deployments use. Search
+    correctness is unaffected: full probe still provably equals brute
+    force over the UNION of old and new vectors.
+
+    Scale: the new batch shuffles once on its cluster assignment and
+    writes only into its own partition directories; existing inverted
+    lists are never read or rewritten. Opened handles at this path are
+    invalidated (their cached scan pinned the old file listing)."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/_centroids").collect()
+    cents = np.array(
+        [r.centroid for r in sorted(cent_rows, key=lambda r: r.cluster)],
+        dtype=np.float64,
+    )
+    assigned = ivf_assign(new_vectors, cents, vec_col).select(
+        id_col, vec_col, "cluster"
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
+    _INDEX_CACHE.pop((id(spark.sparkContext), path), None)
+
+
 def open_ivf_index(spark, path: str, refresh: bool = False) -> IvfIndex:
     """Open (or fetch the cached handle for) an ivf_build_index table.
     Pass ``refresh=True`` after rebuilding the index at the same path."""

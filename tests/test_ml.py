@@ -1579,3 +1579,34 @@ class TestNormalizeText:
         [nfkc] = normalize_text(df, form="NFKC").collect()
         assert nfc.text_norm == "ﬁle １２"
         assert nfkc.text_norm == "file 12"
+
+
+def test_ivf_append_equals_bruteforce_and_prunes(spark, tmp_path):
+    """Incremental add: build on half the corpus, append the rest;
+    full probe over the updated index equals brute force on the union,
+    and the appended rows land in existing cluster partitions."""
+    import os
+
+    from hydra_spark.ml import similarity
+
+    base = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), j -> CAST(hash(id, j) % 100 AS DOUBLE) / 100.0) AS embedding",
+    ).cache()
+    path = str(tmp_path / "idx")
+    similarity.ivf_build_index(base.where("vec_id < 20"), path, n_clusters=4)
+    similarity.ivf_append(spark, path, base.where("vec_id >= 20"))
+
+    queries = base.where("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.cosine_topk(base, queries, k=5).collect()
+    }
+    assert got == want
+    # appended data went into the same partition layout (no new roots)
+    parts = {d for d in os.listdir(path) if d.startswith("cluster=")}
+    assert parts and all(d.split("=")[1].isdigit() for d in parts)
