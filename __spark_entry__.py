@@ -1438,6 +1438,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return anchor_texts(docs)
 
+    def q_anchor_score(spark, sf):  # focused-crawl frontier priority
+        # same anchor grammar as anchor_extract; every doc contributes
+        # one 'Click …' anchor (kw hit 0.5) to an ext host and one
+        # 'rel …' anchor (0.25) to a relative link; ext hosts carry a
+        # closed-form rank (k/10) blended into the priority
+        from hydra_spark.crawl.graph import anchor_texts, score_frontier_by_anchors
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        base = F.concat(
+            F.lit("https://host"), (d % 20).cast("string"),
+            F.lit(".example.com/doc/"), ds,
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext'), (d % 5).cast("string"),
+            F.lit(".example.org/p/"), ds, F.lit('" class="x"> Click   '), ds,
+            F.lit(' </a><a href="/rel/'), ds, F.lit('">rel '), ds,
+            F.lit("</a></body></html>"),
+        )
+        docs = _t(spark, sf, "documents").select(
+            base.alias("url"), F.encode(html, "UTF-8").alias("html")
+        )
+        ranks = spark.range(5).select(
+            F.concat(F.lit("ext"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+            (F.col("id") / F.lit(10.0)).alias("rank"),
+        )
+        return score_frontier_by_anchors(
+            anchor_texts(docs), {"click": 0.5, "rel": 0.25}, ranks=ranks
+        )
+
     def q_link_extract(spark, sf):  # §2.4 growth: href extraction + resolution
         from hydra_spark.crawl.discover import extract_links
 
@@ -1622,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_extract": q_wat_extract,
         "host_rank": q_host_rank,
         "anchor_extract": q_anchor_extract,
+        "anchor_score": q_anchor_score,
         "surt_key": q_surt_key,
         "unicode_norm": q_unicode_norm,
         "claim_cap": q_claim_cap,
@@ -2928,6 +2959,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # anchor grammar replay: href + whitespace-collapsed text per <a>;
         # the href-less anchor drops
+        # anchor_score twin: one anchor per link, scores closed-form;
+        # ext hosts blend rank k/10, relative links have no host
+        "anchor_score": """
+            WITH d AS (SELECT doc_id FROM documents)
+            SELECT link, CAST(1 AS BIGINT) AS n_anchors,
+                   anchor_score, anchor_score AS best_anchor_score, priority
+            FROM (
+              SELECT 'https://ext' || (doc_id % 5) || '.example.org/p/' || doc_id AS link,
+                     0.5 AS anchor_score,
+                     round(0.5 + (doc_id % 5) / 10.0, 6) AS priority
+              FROM d
+              UNION ALL
+              SELECT '/rel/' || doc_id, 0.25, 0.25 FROM d
+            )
+        """,
         "anchor_extract": r"""
             WITH b AS (SELECT doc_id,
                               'https://host' || (doc_id % 20) || '.example.com/doc/'

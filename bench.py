@@ -219,6 +219,7 @@ def main() -> None:
             "sessionize": lambda: q["sessionize"](spark, sf_dir),
             "robots_rfc": lambda: q["robots_rfc"](spark, sf_dir),
             "adaptive_recrawl": lambda: q["adaptive_recrawl"](spark, sf_dir),
+            "anchor_score": lambda: q["anchor_score"](spark, sf_dir),
             "warc_parse": lambda: q["warc_parse"](spark, sf_dir),
             "warc_dedup": lambda: q["warc_dedup"](spark, sf_dir),
         }

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 from hydra_spark.functions.urls import url_domain
 
-__all__ = ["host_edges", "host_rank", "anchor_texts", "with_host_rank"]
+__all__ = [
+    "host_edges",
+    "host_rank",
+    "anchor_texts",
+    "with_host_rank",
+    "score_frontier_by_anchors",
+]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)"
 
@@ -166,4 +172,65 @@ def with_host_rank(
         .join(r, "_host", "left")
         .drop("_host")
         .fillna({"host_rank": 0.0})
+    )
+
+
+def score_frontier_by_anchors(
+    anchors: DataFrame,
+    keyword_weights: dict[str, float],
+    ranks: DataFrame | None = None,
+    rank_weight: float = 1.0,
+) -> DataFrame:
+    """Focused-crawl frontier scoring (Chakrabarti et al. 1999: a
+    focused crawler orders its frontier by the RELEVANCE of the text
+    around the links that discovered each URL): aggregate every
+    anchor's keyword relevance per target link — n_anchors, total and
+    best anchor score — and optionally blend in the target host's
+    link-graph rank (`host_rank`), giving the priority key the claim
+    path orders tier-2 by. Input is `anchor_texts` output; keyword
+    scoring is the same contains-weights rule as the URL gate
+    (ml/urlfilter), applied to lowercased anchor text.
+
+    Scale: ONE map-side-combinable aggregate keyed on the target link
+    (cardinality = distinct discovered URLs); the optional rank blend
+    is a broadcast join on the host-cardinality rank table. No UDFs.
+    Returns (link, n_anchors, anchor_score, best_anchor_score[,
+    priority])."""
+    from functools import reduce as _reduce
+
+    a = F.lower(F.col("anchor"))
+    terms = [
+        F.when(a.contains(kw), F.lit(float(w))).otherwise(F.lit(0.0))
+        for kw, w in sorted(keyword_weights.items())
+    ]
+    score = _reduce(lambda x, y: x + y, terms) if terms else F.lit(0.0)
+    agg = (
+        anchors.select("link", score.alias("_s"))
+        .groupBy("link")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.round(F.sum("_s"), 6).alias("anchor_score"),
+            F.round(F.max("_s"), 6).alias("best_anchor_score"),
+        )
+    )
+    if ranks is None:
+        return agg
+    host = F.lower(F.regexp_extract(F.col("link"), _HOST_RE, 1))
+    r = F.broadcast(
+        ranks.select(F.col("host").alias("_h"), F.col("rank").alias("_r"))
+    )
+    return (
+        agg.withColumn("_host", host)
+        .join(r, F.col("_host") == F.col("_h"), "left")
+        .select(
+            "link",
+            "n_anchors",
+            "anchor_score",
+            "best_anchor_score",
+            F.round(
+                F.col("anchor_score")
+                + F.lit(float(rank_weight)) * F.coalesce(F.col("_r"), F.lit(0.0)),
+                6,
+            ).alias("priority"),
+        )
     )

@@ -105,3 +105,46 @@ class TestWithHostRank:
         )
         got = {r.url: r.host_rank for r in with_host_rank(fr, ranks).collect()}
         assert got == {"https://a.com/p": 0.7, "https://new.com/q": 0.0}
+
+
+class TestFocusedScoring:
+    def test_scores_and_rank_blend(self, spark):
+        from hydra_spark.crawl.graph import score_frontier_by_anchors
+
+        anchors = spark.createDataFrame(
+            [
+                ("https://s/a", "https://t1.example/x", "open DATA portal"),
+                ("https://s/b", "https://t1.example/x", "click here"),
+                ("https://s/c", "https://t2.example/y", "data"),
+                ("https://s/d", "https://t3.example/z", "unrelated"),
+            ],
+            "url string, link string, anchor string",
+        )
+        kw = {"data": 0.5, "portal": 0.25}
+        got = {r.link: r for r in score_frontier_by_anchors(anchors, kw).collect()}
+        t1 = got["https://t1.example/x"]
+        assert (t1.n_anchors, t1.anchor_score, t1.best_anchor_score) == (2, 0.75, 0.75)
+        assert got["https://t2.example/y"].anchor_score == 0.5
+        assert got["https://t3.example/z"].anchor_score == 0.0
+
+        ranks = spark.createDataFrame(
+            [("t3.example", 0.9)], "host string, rank double"
+        )
+        pr = {r.link: r.priority
+              for r in score_frontier_by_anchors(anchors, kw, ranks=ranks).collect()}
+        # rank rescues an anchor-poor target; unranked hosts keep their score
+        assert pr["https://t3.example/z"] == 0.9
+        assert pr["https://t1.example/x"] == 0.75
+
+    def test_broadcast_only_rank_join(self, spark):
+        from hydra_spark.crawl.graph import score_frontier_by_anchors
+
+        anchors = spark.createDataFrame(
+            [("u", "https://t.example/x", "data")], "url string, link string, anchor string"
+        )
+        ranks = spark.createDataFrame([("t.example", 0.5)], "host string, rank double")
+        plan = (
+            score_frontier_by_anchors(anchors, {"data": 1.0}, ranks=ranks)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
