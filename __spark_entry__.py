@@ -1035,6 +1035,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncation and the OOV backoff path are active in the oracle
         return webtext.bigram_lm_score(_t(spark, sf, "documents"), vocab_size=20)
 
+    def q_pmi(spark, sf):  # webtext: collocation mining
+        from hydra_spark.ml import webtext
+
+        return webtext.pmi_collocations(
+            _t(spark, sf, "documents"), k=20, min_count=5
+        )
+
     def q_stratified_sample(spark, sf):  # webtext: corpus-mixing sampler
         from hydra_spark.ml import webtext
 
@@ -1625,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "unigram_lm": q_unigram_lm,
         "bigram_lm": q_bigram_lm,
+        "pmi": q_pmi,
         "stratified_sample": q_stratified_sample,
         "exact_sample": q_exact_sample,
         "domain_mix": q_domain_mix,
@@ -2369,6 +2377,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_words,
                    CAST(round(-avg(lp), 6) AS DOUBLE) AS lm_score
             FROM sc GROUP BY 1
+        """,
+        # pmi twin: same truncated tables, PMI on the tiny bigram
+        # table; ORDER BY uses the ROUNDED pmi exactly like the operator
+        "pmi": r"""
+            WITH t AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+                       FROM documents),
+            words AS (SELECT unnest(ws) AS word FROM t),
+            nw AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM words),
+            uni AS (SELECT word, count(*) AS cnt_u FROM words GROUP BY 1
+                    ORDER BY cnt_u DESC, word LIMIT 50000),
+            pairs AS (SELECT ws[i] AS prev, ws[i+1] AS w FROM (
+                        SELECT ws, unnest(range(1, len(ws))) AS i
+                        FROM t WHERE len(ws) >= 2)),
+            np AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM pairs),
+            big AS (SELECT prev, w, count(*) AS cnt FROM pairs GROUP BY 1, 2
+                    HAVING count(*) >= 5
+                    ORDER BY cnt DESC, prev, w LIMIT 50000)
+            SELECT big.prev, big.w, big.cnt,
+                   round(log10((big.cnt / (SELECT v FROM np))
+                         / ((up.cnt_u / (SELECT v FROM nw))
+                            * (uw.cnt_u / (SELECT v FROM nw)))), 6) AS pmi
+            FROM big
+            JOIN uni up ON big.prev = up.word
+            JOIN uni uw ON big.w = uw.word
+            ORDER BY pmi DESC, big.prev, big.w LIMIT 20
         """,
         # bigram_lm twin: Jelinek-Mercer interpolation with the same
         # truncated tables; (1.0 - 0.7) is COMPUTED (not the literal 0.3)

@@ -167,6 +167,7 @@ def main() -> None:
             ),
             "unigram_lm": lambda: webtext.unigram_lm_score(docs, vocab_size=20),
             "bigram_lm": lambda: webtext.bigram_lm_score(docs, vocab_size=20),
+            "pmi": lambda: webtext.pmi_collocations(docs, k=20, min_count=5),
             "redact_pii": lambda: webtext.redact_pii(docs),
             "corpus_token_stats": lambda: webtext.corpus_token_stats(docs),
             "pack_sequences": lambda: webtext.pack_sequences(docs, window=64),

@@ -52,6 +52,7 @@ __all__ = [
     "duplicate_spans",
     "unigram_lm_score",
     "bigram_lm_score",
+    "pmi_collocations",
     "nb_quality_classifier",
     "perplexity_buckets",
     "uniform_hash",
@@ -349,6 +350,77 @@ def bigram_lm_score(
     return scored.withColumn("_lp", F.log10(p)).groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg("_lp"), 6).alias("lm2_score"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 5,
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Top-`k` collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(x,y) = log10( p(xy) / (p(x)·p(y)) ) over adjacent
+    word pairs — the corpus-analysis pass that surfaces multiword
+    expressions ("new york", "machine learning") versus merely frequent
+    pairs, and the signal tokenizer-vocabulary curation ranks merge
+    candidates by. `min_count` drops rare-pair noise (PMI famously
+    explodes for hapax pairs); ties break on (pmi desc, pair asc).
+
+    Scale: the same two truncated top-`vocab_size` count tables as
+    `bigram_lm_score` (map-side-combinable aggregates); PMI is computed
+    ON the tiny bigram table itself — the corpus is never rescanned or
+    shuffled beyond the two counts — and the final cut is
+    TakeOrderedAndProject. Returns (prev, w, cnt, pmi)."""
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(words_arr.alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(F.size("_w"), F.lit(2))),
+            lambda i: F.struct(
+                F.element_at(F.col("_w"), i - 1).alias("prev"),
+                F.element_at(F.col("_w"), i).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    pairs = base.select(F.explode(bigrams).alias("_bg")).select(
+        F.col("_bg.prev").alias("prev"), F.col("_bg.w").alias("w")
+    )
+    words = base.select(F.explode("_w").alias("word"))
+    uni = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt_u"))
+        .orderBy(F.desc("cnt_u"), "word")
+        .limit(vocab_size)
+    )
+    n_words = words.agg(F.count(F.lit(1)).cast("double").alias("_nw"))
+    big = (
+        pairs.groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), "prev", "w")
+        .limit(vocab_size)
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("double").alias("_np"))
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("word").alias("prev"), F.col("cnt_u").alias("cnt_prev"))),
+            "prev",
+        )
+        .join(F.broadcast(uni.select(F.col("word").alias("w"), "cnt_u")), "w")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_words))
+    )
+    pmi = F.log10(
+        (F.col("cnt") / F.col("_np"))
+        / ((F.col("cnt_prev") / F.col("_nw")) * (F.col("cnt_u") / F.col("_nw")))
+    )
+    return (
+        scored.select("prev", "w", "cnt", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "prev", "w")
+        .limit(k)
     )
 
 

@@ -687,3 +687,35 @@ class TestBigramLM:
         a = sorted(map(tuple, bigram_lm_score(df.repartition(1)).collect()))
         b = sorted(map(tuple, bigram_lm_score(df.repartition(16)).collect()))
         assert a == b
+
+
+class TestPmiCollocations:
+    def test_collocation_beats_frequent_pair(self, spark):
+        from hydra_spark.ml.webtext import pmi_collocations
+
+        # "san francisco" always co-occurs; "the cat" words are common
+        # individually but rarely adjacent -> PMI ranks the collocation
+        # first even though both pairs have the same raw count
+        rows = []
+        for i in range(10):
+            rows.append((i, "san francisco is great"))
+            rows.append((100 + i, "the cat and the dog and the bird"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = pmi_collocations(df, k=10, min_count=3).collect()
+        pair_pmi = {(r.prev, r.w): r.pmi for r in got}
+        # the perfect collocation ties the top PMI ("francisco is" is
+        # equally exclusive in this corpus) and beats the frequent-but-
+        # promiscuous "the cat"
+        assert pair_pmi[("san", "francisco")] == got[0].pmi
+        assert pair_pmi[("san", "francisco")] > pair_pmi[("the", "cat")]
+
+    def test_min_count_drops_hapax(self, spark):
+        from hydra_spark.ml.webtext import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "rare pair"), (2, "common words common words common words")],
+            "doc_id long, text string",
+        )
+        got = {(r.prev, r.w) for r in pmi_collocations(df, k=10, min_count=2).collect()}
+        assert ("rare", "pair") not in got
+        assert ("common", "words") in got
