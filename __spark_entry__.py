@@ -778,14 +778,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return probe_image_meta(assets)
 
     def q_media_meta(spark, sf):  # audio/video container probes over REAL bytes
-        # Spark side ENCODES a real FLAC / MP3 / OGG / MP4 / WebM / AVI payload
-        # per asset (parameters a pure function of the id) and probes it
-        # back via probe_media_meta — the oracle replays the arithmetic,
-        # so a probe bug (not just a builder bug) breaks the match
+        # Spark side ENCODES a real FLAC / MP3 / OGG / MP4 / WebM / AVI /
+        # WAV / PNG payload per asset (parameters a pure function of the
+        # id — 8 containers) and probes it back via probe_media_meta —
+        # the oracle replays the arithmetic, so a probe bug (not just a
+        # builder bug) breaks the match
         from hydra_spark.ml.multimodal import probe_media_meta
 
         def gen(batches):
             import struct
+            import zlib
 
             import pandas as pd
 
@@ -838,26 +840,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 body = b"AVI " + hdrl + b"LIST" + struct.pack("<I", 4) + b"movi"
                 return b"RIFF" + struct.pack("<I", len(body)) + body
 
+            def wav(rate, ch, bits, frames):
+                fmt = struct.pack("<HHIIHH", 1, ch, rate,
+                                  rate * ch * bits // 8, ch * bits // 8, bits)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                        + b"data" + struct.pack("<I", frames * ch * (bits // 8)))
+                return b"RIFF" + struct.pack("<I", len(body)) + body
+
+            def png(w, h, color):
+                nch = {0: 1, 2: 3, 6: 4}[color]
+                raw = b"".join(
+                    b"\x00" + bytes(((x + y) % 251 for x in range(w * nch)))
+                    for y in range(h)
+                )
+
+                def chunk(t, d):
+                    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+                return (b"\x89PNG\r\n\x1a\n"
+                        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+                        + chunk(b"IDAT", zlib.compress(raw))
+                        + chunk(b"IEND", b""))
+
             for pdf in batches:
                 payloads = []
                 for aid in pdf["asset_id"]:
-                    i, k = int(aid), int(aid) // 6
-                    if i % 6 == 0:
+                    i, k = int(aid), int(aid) // 8
+                    if i % 8 == 0:
                         payloads.append(flac(44100, 1 + k % 2, 16, (k % 10 + 1) * 44100))
-                    elif i % 6 == 1:
+                    elif i % 8 == 1:
                         payloads.append(mp3(3 + k % 5))
-                    elif i % 6 == 2:
+                    elif i % 8 == 2:
                         payloads.append(ogg_vorbis(32000 + (k % 3) * 8000, 1 + k % 2,
                                                    (64 + (k % 4) * 32) * 1000))
-                    elif i % 6 == 3:
+                    elif i % 8 == 3:
                         payloads.append(mp4(600 * (k % 20 + 1),
                                             320 + (k % 8) * 160, 240 + (k % 8) * 120))
-                    elif i % 6 == 4:
+                    elif i % 8 == 4:
                         payloads.append(webm((k % 15 + 1) * 500, 426 + (k % 6) * 160,
                                              240 + (k % 6) * 90, 48000, 1 + k % 2))
-                    else:
+                    elif i % 8 == 5:
                         payloads.append(avi(33333, (k % 30 + 1) * 25,
                                             320 + (k % 10) * 64, 240 + (k % 10) * 48))
+                    elif i % 8 == 6:
+                        payloads.append(wav(16000, 1 + k % 2, 16, (k % 20 + 1) * 800))
+                    else:
+                        payloads.append(png(4 + k % 13, 3 + k % 7, [0, 2, 6][k % 3]))
                 yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
 
         assets = spark.range(250).selectExpr("id as asset_id").mapInPandas(
@@ -1967,29 +1995,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_meta": """
             SELECT i AS asset_id,
-                   CASE i % 6 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+                   CASE i % 8 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
                               WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'mp4'
-                              WHEN 4 THEN 'webm' ELSE 'avi' END AS format,
-                   CAST(CASE WHEN i % 6 = 3 THEN 320 + ((i // 6) % 8) * 160
-                             WHEN i % 6 = 4 THEN 426 + ((i // 6) % 6) * 160
-                             WHEN i % 6 = 5 THEN 320 + ((i // 6) % 10) * 64 END AS INT) AS width,
-                   CAST(CASE WHEN i % 6 = 3 THEN 240 + ((i // 6) % 8) * 120
-                             WHEN i % 6 = 4 THEN 240 + ((i // 6) % 6) * 90
-                             WHEN i % 6 = 5 THEN 240 + ((i // 6) % 10) * 48 END AS INT) AS height,
-                   CAST(CASE WHEN i % 6 = 1 THEN 2
-                             WHEN i % 6 IN (0, 2, 4) THEN 1 + (i // 6) % 2 END AS INT) AS n_channels,
-                   CAST(CASE WHEN i % 6 = 0 THEN 16 END AS INT) AS bit_depth,
-                   CAST(CASE WHEN i % 6 IN (0, 1) THEN 44100
-                             WHEN i % 6 = 2 THEN 32000 + ((i // 6) % 3) * 8000
-                             WHEN i % 6 = 4 THEN 48000 END AS INT) AS sample_rate,
-                   CAST(CASE WHEN i % 6 = 0 THEN ((i // 6) % 10 + 1) * 1000
-                             WHEN i % 6 = 1 THEN (417 * (3 + (i // 6) % 5) * 8 * 1000) // 128000
-                             WHEN i % 6 = 3 THEN ((i // 6) % 20 + 1) * 1000
-                             WHEN i % 6 = 4 THEN ((i // 6) % 15 + 1) * 500
-                             WHEN i % 6 = 5 THEN (33333 * ((i // 6) % 30 + 1) * 25) // 1000
+                              WHEN 4 THEN 'webm' WHEN 5 THEN 'avi'
+                              WHEN 6 THEN 'wav' ELSE 'png' END AS format,
+                   CAST(CASE WHEN i % 8 = 3 THEN 320 + ((i // 8) % 8) * 160
+                             WHEN i % 8 = 4 THEN 426 + ((i // 8) % 6) * 160
+                             WHEN i % 8 = 5 THEN 320 + ((i // 8) % 10) * 64
+                             WHEN i % 8 = 7 THEN 4 + (i // 8) % 13 END AS INT) AS width,
+                   CAST(CASE WHEN i % 8 = 3 THEN 240 + ((i // 8) % 8) * 120
+                             WHEN i % 8 = 4 THEN 240 + ((i // 8) % 6) * 90
+                             WHEN i % 8 = 5 THEN 240 + ((i // 8) % 10) * 48
+                             WHEN i % 8 = 7 THEN 3 + (i // 8) % 7 END AS INT) AS height,
+                   CAST(CASE WHEN i % 8 = 1 THEN 2
+                             WHEN i % 8 IN (0, 2, 4, 6) THEN 1 + (i // 8) % 2
+                             WHEN i % 8 = 7 THEN [1, 3, 4][(i // 8) % 3 + 1] END AS INT) AS n_channels,
+                   CAST(CASE WHEN i % 8 IN (0, 6) THEN 16
+                             WHEN i % 8 = 7 THEN 8 END AS INT) AS bit_depth,
+                   CAST(CASE WHEN i % 8 IN (0, 1) THEN 44100
+                             WHEN i % 8 = 2 THEN 32000 + ((i // 8) % 3) * 8000
+                             WHEN i % 8 = 4 THEN 48000
+                             WHEN i % 8 = 6 THEN 16000 END AS INT) AS sample_rate,
+                   CAST(CASE WHEN i % 8 = 0 THEN ((i // 8) % 10 + 1) * 1000
+                             WHEN i % 8 = 1 THEN (417 * (3 + (i // 8) % 5) * 8 * 1000) // 128000
+                             WHEN i % 8 = 3 THEN ((i // 8) % 20 + 1) * 1000
+                             WHEN i % 8 = 4 THEN ((i // 8) % 15 + 1) * 500
+                             WHEN i % 8 = 5 THEN (33333 * ((i // 8) % 30 + 1) * 25) // 1000
+                             WHEN i % 8 = 6 THEN ((i // 8) % 20 + 1) * 50
                         END AS BIGINT) AS duration_ms,
-                   CAST(CASE WHEN i % 6 = 1 THEN 128
-                             WHEN i % 6 = 2 THEN 64 + ((i // 6) % 4) * 32 END AS INT) AS bitrate_kbps
+                   CAST(CASE WHEN i % 8 = 1 THEN 128
+                             WHEN i % 8 = 2 THEN 64 + ((i // 8) % 4) * 32 END AS INT) AS bitrate_kbps
             FROM range(250) t(i)
         """,
         "csv_inspect": """
@@ -2423,7 +2458,7 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cnt_b DESC, prev, w LIMIT 20),
             sc AS (
               SELECT p.doc_id,
-                     log10(0.7 * (coalesce(CAST(b.cnt_b AS DOUBLE), 0.0)
+                     log10(0.7 * least(1.0, coalesce(CAST(b.cnt_b AS DOUBLE), 0.0)
                                   / coalesce(CAST(up.cnt_u AS DOUBLE), 0.5))
                            + (1.0 - 0.7) * coalesce(CAST(uw.cnt_u AS DOUBLE), 0.5)
                              / t.total) AS lp

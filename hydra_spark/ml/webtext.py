@@ -341,9 +341,13 @@ def bigram_lm_score(
         .join(F.broadcast(uni.select(F.col("word").alias("w"), "cnt_u")), "w", "left")
         .crossJoin(F.broadcast(total))
     )
-    p = F.lit(float(lam)) * (
+    # Conditional p(w|prev) is clamped to 1: a bigram can survive the
+    # top-K bigram cut while its prev word misses the unigram cut, and
+    # cnt_b / 0.5 would then exceed 1 (negative log-loss skewing docs).
+    p = F.lit(float(lam)) * F.least(
+        F.lit(1.0),
         F.coalesce(F.col("cnt_b").cast("double"), F.lit(0.0))
-        / F.coalesce(F.col("cnt_prev").cast("double"), F.lit(0.5))
+        / F.coalesce(F.col("cnt_prev").cast("double"), F.lit(0.5)),
     ) + F.lit(1.0 - float(lam)) * (
         F.coalesce(F.col("cnt_u").cast("double"), F.lit(0.5)) / F.col("_total")
     )

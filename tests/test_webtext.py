@@ -688,6 +688,18 @@ class TestBigramLM:
         b = sorted(map(tuple, bigram_lm_score(df.repartition(16)).collect()))
         assert a == b
 
+    def test_conditional_prob_clamped_when_prev_misses_vocab(self, spark):
+        from hydra_spark.ml.webtext import bigram_lm_score
+
+        # bigram (x,y) survives the top-2 bigram cut while unigram 'x'
+        # misses the top-2 unigram cut (a,b dominate): cnt_b/0.5 would
+        # be 10 -> p>1 and NEGATIVE log-loss without the clamp
+        rows = [(i, "x y") for i in range(5)]
+        rows += [(10 + i, "a b a b a b") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_lm_score(df, vocab_size=2).collect()}
+        assert all(r.lm2_score >= 0 for r in got.values())
+
 
 class TestPmiCollocations:
     def test_collocation_beats_frequent_pair(self, spark):
