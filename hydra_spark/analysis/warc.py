@@ -69,6 +69,20 @@ WARC_RECORD_SCHEMA = T.StructType(
 _DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 
+def _segment_name(seed: str, ordinal: int) -> str:
+    """Collision-free segment file name. The first-URL hash alone is NOT
+    unique — two Arrow batches (same or different partitions) can share
+    a first URL in recrawl archives with repeated captures, and a shared
+    name silently overwrites a segment while the manifest double-counts
+    it. Partition id + a per-task batch ordinal disambiguate."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else 0
+    h = hashlib.md5(seed.encode()).hexdigest()[:12]
+    return f"{h}-p{pid:05d}-{ordinal:04d}"
+
+
 def record_urn(target_uri: str | None, date: str) -> str:
     """Deterministic record id: UUID URN from md5(uri|date) — the
     anchor revisit records point their WARC-Refers-To at."""
@@ -300,6 +314,7 @@ def write_warc(
 
     def gen(batches):
         os.makedirs(out_dir, exist_ok=True)
+        ordinal = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -320,7 +335,8 @@ def write_warc(
             if not recs:
                 continue
             seg = build_warc(recs)
-            name = hashlib.md5(str(pdf[url_col].iloc[0]).encode()).hexdigest()[:16]
+            name = _segment_name(str(pdf[url_col].iloc[0]), ordinal)
+            ordinal += 1
             path = os.path.join(out_dir, f"part-{name}.warc.gz")
             with open(path, "wb") as f:
                 f.write(seg)
@@ -359,6 +375,7 @@ def write_wet(
 
     def gen(batches):
         os.makedirs(out_dir, exist_ok=True)
+        ordinal = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -383,7 +400,8 @@ def write_wet(
             if not recs:
                 continue
             seg = build_warc(recs)
-            name = hashlib.md5(("wet|" + str(pdf[url_col].iloc[0])).encode()).hexdigest()[:16]
+            name = _segment_name("wet|" + str(pdf[url_col].iloc[0]), ordinal)
+            ordinal += 1
             path = os.path.join(out_dir, f"part-{name}.warc.wet.gz")
             with open(path, "wb") as f:
                 f.write(seg)
@@ -486,6 +504,7 @@ def write_wat(
 
     def gen(batches):
         os.makedirs(out_dir, exist_ok=True)
+        ordinal = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -517,7 +536,8 @@ def write_wat(
             if not recs:
                 continue
             seg = build_warc(recs)
-            name = hashlib.md5(("wat|" + str(pdf[url_col].iloc[0])).encode()).hexdigest()[:16]
+            name = _segment_name("wat|" + str(pdf[url_col].iloc[0]), ordinal)
+            ordinal += 1
             path = os.path.join(out_dir, f"part-{name}.warc.wat.gz")
             with open(path, "wb") as f:
                 f.write(seg)
@@ -652,6 +672,7 @@ def write_warc_dedup(
 
     def gen(batches):
         os.makedirs(out_dir, exist_ok=True)
+        ordinal = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -701,7 +722,8 @@ def write_warc_dedup(
             if not recs:
                 continue
             seg = build_warc(recs)
-            name = hashlib.md5(str(pdf[url_col].iloc[0]).encode()).hexdigest()[:16]
+            name = _segment_name(str(pdf[url_col].iloc[0]), ordinal)
+            ordinal += 1
             path = os.path.join(out_dir, f"part-{name}.warc.gz")
             with open(path, "wb") as f:
                 f.write(seg)

@@ -35,8 +35,14 @@ def domain_backoff(
     ``crawl_delays(domain, crawl_delay)`` (robots.crawl_delays_from_
     robots_pages) tightens the rate budget per host: a declared delay of
     d seconds caps the window at floor(backoff_period / d) requests
-    (never above cfg.backoff_nb_req). The delays table is hosts-sized —
-    always broadcast; the rate aggregate itself is unchanged.
+    (never above cfg.backoff_nb_req). When d exceeds the window itself
+    (floor == 0) the window budget can't express the spacing, so the
+    domain is instead HELD until ``now - last_check >= d`` — the
+    politeness contract for the most delay-sensitive hosts (a 7200 s
+    delay must not collapse to one request per backoff_period). The
+    delays table is hosts-sized — always broadcast; the hold scan
+    prunes to long-delay hosts via an inner broadcast join before it
+    aggregates anything.
 
     Returns None when there is no checks history yet.
     """
@@ -54,19 +60,40 @@ def domain_backoff(
         .agg(F.count("*").alias("nb_req"))
     )
     limit_req = F.lit(int(cfg.backoff_nb_req))
+    hold = None
     if crawl_delays is not None:
-        d = F.broadcast(
-            crawl_delays.select(
-                F.col("domain"), F.col("crawl_delay").cast("double").alias("_cd")
-            ).where(F.col("_cd") > 0)
+        delays = crawl_delays.select(
+            F.col("domain"), F.col("crawl_delay").cast("double").alias("_cd")
+        ).where(F.col("_cd") > 0)
+        # Window-expressible delays (d < period): tighten the rate budget.
+        # floor(period/d) >= 1 here, so the budget never degenerates to 0.
+        counted = counted.join(
+            F.broadcast(delays.where(F.col("_cd") < float(cfg.backoff_period))),
+            "domain",
+            "left",
         )
-        counted = counted.join(d, "domain", "left")
         limit_req = F.least(
             limit_req,
             F.coalesce(
                 F.floor(F.lit(float(cfg.backoff_period)) / F.col("_cd")).cast("int"),
                 limit_req,
             ),
+        )
+        # Delays >= period: hold until the declared spacing has elapsed
+        # since the last check. Inner broadcast join prunes the scan to
+        # long-delay hosts before the filter/dedup.
+        long_d = delays.where(F.col("_cd") >= float(cfg.backoff_period))
+        hold = (
+            base.join(F.broadcast(long_d), "domain", "inner")
+            .where(F.col("created_at") > now_ts - F.make_interval(secs=F.col("_cd")))
+            .select(
+                "domain",
+                F.concat(
+                    F.lit("Crawl-delay "),
+                    F.col("_cd").cast("long").cast("string"),
+                    F.lit("s not yet elapsed"),
+                ).alias("backoff_reason"),
+            )
         )
     rate = (
         counted.where(F.col("nb_req") >= limit_req)
@@ -77,6 +104,8 @@ def domain_backoff(
             ),
         )
     )
+    if hold is not None:
+        rate = rate.unionByName(hold)
 
     w = Window.partitionBy("domain").orderBy(F.desc("created_at"), F.desc("id"))
     latest = (

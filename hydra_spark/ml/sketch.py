@@ -107,9 +107,12 @@ def heavy_hitters(
     lower bound short by ≤ err_bound = floor(N/(capacity+1)); every key
     with true frequency > err_bound is guaranteed to be reported."""
     cap = capacity or 8 * k
-    return _sketch_topk(
-        df.select(key_col), lambda pdf: pdf[key_col], k, cap, "key"
-    )
+    # keys go out through a `key string` Arrow schema — cast non-string
+    # key columns (ints, etc.) JVM-side up front; a pandas-side astype
+    # would stringify inconsistently ('0' vs '0.0') when a partition's
+    # nulls promote the batch dtype to float
+    keyed = df.select(F.col(key_col).cast("string").alias(key_col))
+    return _sketch_topk(keyed, lambda pdf: pdf[key_col], k, cap, "key")
 
 
 def token_heavy_hitters(

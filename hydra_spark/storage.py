@@ -510,7 +510,13 @@ class StateStore:
         already-folded batches is idempotent (same per-key winners)."""
         if not self.checks.exists():
             return
-        upto = max(b["id"] for b in self.checks.manifest()["batches"])
+        batches = self.checks.manifest()["batches"]
+        if not batches:
+            # crash recovery can leave a manifest whose only batch was
+            # pruned (prune_after_round on an uncommitted round) — there
+            # is nothing to fold
+            return
+        upto = max(b["id"] for b in batches)
         df = self.latest_checks_view(spark)
         self.checks_latest.commit(df, round_id=round_id, meta={"upto_batch": upto})
 

@@ -153,6 +153,43 @@ class TestCrawlDelayBudget:
         held = domain_backoff(checks, cfg, now, crawl_delays=delays)
         assert held.count() == 1
 
+    def test_delay_longer_than_window_holds_until_elapsed(self, spark):
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import Row
+
+        from hydra_spark.config import DEFAULT
+        from hydra_spark.crawl.backoff import domain_backoff
+
+        # Crawl-delay 7200s with a 3600s rate window: floor(3600/7200)=0
+        # used to degrade to ~1 req/3600s — HALF the declared spacing.
+        now = "2025-01-15 12:00:00"
+        t0 = datetime(2025, 1, 15, 12, 0, 0)
+
+        def checks_at(ago_s):
+            rows = [Row(id=1, resource_id="r1", url="https://slow.example.com/a",
+                        domain="slow.example.com",
+                        created_at=t0 - timedelta(seconds=ago_s),
+                        status=200, headers={})]
+            return spark.createDataFrame(
+                rows,
+                "id long, resource_id string, url string, domain string, "
+                "created_at timestamp, status int, headers map<string,string>",
+            )
+
+        cfg = DEFAULT.with_(backoff_nb_req=180, backoff_period=3600.0)
+        delays = spark.createDataFrame(
+            [Row(domain="slow.example.com", crawl_delay=7200.0)]
+        )
+        # last check 5000s ago: outside the rate window but inside the
+        # declared delay -> must be held
+        held = domain_backoff(checks_at(5000), cfg, now, crawl_delays=delays)
+        rows = held.collect()
+        assert [r.domain for r in rows] == ["slow.example.com"]
+        assert "Crawl-delay" in rows[0].backoff_reason
+        # last check 8000s ago: the declared spacing has elapsed -> free
+        assert domain_backoff(checks_at(8000), cfg, now, crawl_delays=delays).count() == 0
+
 
 class TestParseCrawlDelay:
     def test_group_resolution(self):

@@ -429,6 +429,26 @@ class TestWarcSink:
         assert len(m1) == 1
         assert [p.split("/")[-1] for p in m1] == [p.split("/")[-1] for p in m2]
 
+    def test_shared_first_url_never_collides(self, spark, tmp_path):
+        """Recrawl archives repeat captures: two partitions whose first
+        row shares a URL must write DISTINCT segments (first-URL-hash
+        names used to silently overwrite one with the other)."""
+        from pyspark.sql import functions as F
+
+        from hydra_spark.analysis.warc import read_warc, write_warc
+
+        rows = [("https://h.example.com/same", f"capture {i}".encode()) for i in range(4)]
+        df = (
+            spark.createDataFrame(rows, "url string, html binary")
+            .withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+            .repartition(2)
+        )
+        manifest = write_warc(df, str(tmp_path / "arc")).collect()
+        paths = [m.path for m in manifest]
+        assert len(paths) == len(set(paths))
+        assert sum(m.n_records for m in manifest) == 4
+        assert read_warc(spark, str(tmp_path / "arc") + "/*.warc.gz").count() == 4
+
 
 class TestWetSink:
     def test_extract_then_wet_roundtrip(self, spark, tmp_path):

@@ -183,6 +183,27 @@ def test_resume_prunes_uncommitted_round(spark, tmp_path):
     assert per_round == {1, 2}
 
 
+def test_fold_latest_checks_empty_manifest_is_noop(spark, tmp_path):
+    """Crash recovery can leave a checks manifest whose batches list is
+    EMPTY (prune dropped an uncommitted round's only batch); the next
+    compaction-cadence fold must be a no-op, not a ValueError."""
+    pages = generate_pages(spark, 100, n_hosts=4).cache()
+    frontier = generate_frontier(spark, pages)
+    store = StateStore(str(tmp_path))
+    init_state(store, frontier)
+    # orphan batch for round 1, never committed -> prune empties the manifest
+    store.checks.append(
+        spark.createDataFrame(
+            [("r0", "https://h.example.com/x")], "resource_id string, url string"
+        ),
+        round_id=1,
+    )
+    store.prune_uncommitted()
+    assert store.checks.manifest()["batches"] == []
+    store.fold_latest_checks(spark, round_id=0)  # must not raise
+    assert store.checks_latest.current_snapshot() is None
+
+
 def test_appends_after_rewrite_do_not_collide(spark, tmp_path):
     """Batch ids are max+1, not len+1: appends following a rewrite()
     compaction must never reuse an old id and overwrite the compacted

@@ -345,6 +345,17 @@ def test_heavy_hitters_mg_guarantees(spark):
             assert key in got, key
 
 
+def test_heavy_hitters_non_string_key(spark):
+    # the sketch emits through a `key string` Arrow schema — int keys
+    # must be cast inside the pass, not die with an Arrow type error
+    from hydra_spark.ml.sketch import heavy_hitters
+
+    rows = [(i % 3,) for i in range(30)] + [(None,)]
+    df = spark.createDataFrame(rows, "key int")
+    got = [(r.key, r.cnt) for r in heavy_hitters(df, "key", k=2, capacity=64).collect()]
+    assert got == [("0", 10), ("1", 10)]
+
+
 def test_token_heavy_hitters(spark):
     from hydra_spark.ml.sketch import token_heavy_hitters
 
