@@ -1598,6 +1598,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return batch.groupBy("domain").agg(F.count("*").alias("n_claimed"))
 
+    def q_soft404(spark, sf):  # crawl quality: 200-with-error-body detection
+        from hydra_spark.crawl.soft404 import detect_soft404
+
+        d = F.col("doc_id")
+        text = (
+            F.when(d % 7 == 1, F.lit("Error 404: the page was not found."))
+            .when(d % 11 == 3, F.lit("ok"))
+            .otherwise(F.col("text"))
+        )
+        status = F.when(d % 13 == 5, F.lit(404)).otherwise(F.lit(200))
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                     F.lit(".example.com/doc/"), d.cast("string")).alias("url"),
+            text.alias("text"), status.alias("status"),
+        )
+        return detect_soft404(pages).select("url", "status", "reason", "is_soft404")
+
+    def q_conditional_fetch(spark, sf):  # RFC 9110 §13.1 revalidation savings
+        from hydra_spark.crawl.revalidate import revalidation_stats
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        domain = F.concat(F.lit("host"), (d % 20).cast("string"), F.lit(".example.com"))
+        rid = F.concat(F.lit("r"), ds)
+        changed = d % 5 == 0
+        etag1 = F.concat(F.lit('"e'), ds, F.lit('"'))
+        etag2 = F.when(changed, F.concat(F.lit('"e'), ds, F.lit('x"'))).otherwise(etag1)
+        lm1 = F.lit("Mon, 01 Jan 2024 00:00:00 GMT")
+        lm2 = F.when(changed, F.lit("Tue, 02 Jan 2024 00:00:00 GMT")).otherwise(lm1)
+
+        def hdrs(etag, lm):
+            # validator class: d%3==0 → ETag only; ==1 → Last-Modified
+            # only; ==2 → no validator
+            return (
+                F.when(d % 3 == 0, F.create_map(F.lit("etag"), etag))
+                .when(d % 3 == 1, F.create_map(F.lit("last-modified"), lm))
+                .otherwise(F.create_map().cast("map<string,string>"))
+            )
+
+        docs = _t(spark, sf, "documents")
+        c1 = docs.select(
+            (d * 2).alias("id"), rid.alias("resource_id"), domain.alias("domain"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("created_at"),
+            hdrs(etag1, lm1).alias("headers"),
+            (F.lit(1000) + d % 5000).alias("filesize"),
+        )
+        c2 = docs.select(
+            (d * 2 + 1).alias("id"), rid.alias("resource_id"), domain.alias("domain"),
+            F.to_timestamp(F.lit("2025-01-02 00:00:00")).alias("created_at"),
+            hdrs(etag2, lm2).alias("headers"),
+            (F.lit(1000) + (d * 7) % 5000).alias("filesize"),
+        )
+        return revalidation_stats(c1.unionByName(c2))
+
+    def q_link_stats(spark, sf):  # per-host outlink profile over extract_links
+        from hydra_spark.crawl.discover import extract_links
+        from hydra_spark.crawl.graph import host_link_stats
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+        base = F.concat(
+            F.lit("https://host"), (d % 20).cast("string"), F.lit(".example.com/dir"),
+            (d % 3).cast("string"), F.lit("/doc"), ds, F.lit(".html"),
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="https://ext'), (d % 5).cast("string"),
+            F.lit(".example.org/page/"), ds, F.lit('">x</a>'),
+            F.lit('<a href="/rel/'), ds, F.lit('">x</a>'),
+            F.lit('<a href="//cdn'), (d % 3).cast("string"),
+            F.lit(".example.net/a/"), ds, F.lit('">x</a>'),
+            F.lit('<a href="sub/'), ds, F.lit('">x</a></body></html>'),
+        )
+        docs = _t(spark, sf, "documents").select(
+            base.alias("url"), F.encode(html, "UTF-8").alias("html")
+        )
+        return host_link_stats(extract_links(docs))
+
+    def q_mirror_detect(spark, sf):  # cross-host mirror sets by content digest
+        from hydra_spark.ml.dedup import mirror_sets
+
+        d = F.col("doc_id")
+        # groups of 3 consecutive ids share a body (mirrored across the
+        # 3 distinct d%20 hosts) EXCEPT ids with d%9<3, which stay
+        # unique — those groups must be filtered by min_hosts=2
+        base = F.when(d % 9 < 3, d).otherwise(d - d % 3)
+        pages = _t(spark, sf, "documents").select(
+            F.concat(F.lit("https://host"), (d % 20).cast("string"),
+                     F.lit(".example.com/doc/"), d.cast("string")).alias("url"),
+            F.concat(F.lit("content-"), base.cast("string")).alias("text"),
+        )
+        return mirror_sets(pages)
+
     return {
         "latest_check": q_latest_check,
         "last_two_change": q_last_two_change,
@@ -1692,6 +1784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_key": q_surt_key,
         "unicode_norm": q_unicode_norm,
         "claim_cap": q_claim_cap,
+        "soft404": q_soft404,
+        "conditional_fetch": q_conditional_fetch,
+        "link_stats": q_link_stats,
+        "mirror_detect": q_mirror_detect,
     }
 
 
@@ -3158,5 +3254,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS INT) AS n_chars_before,
                    CAST(length(text_norm) AS INT) AS n_chars_after
             FROM n
+        """,
+        # marker/thin rules replayed on the same planted-text grammar
+        "soft404": r"""
+            WITH p AS (
+              SELECT 'https://host' || (doc_id % 20) || '.example.com/doc/' || doc_id AS url,
+                     CASE WHEN doc_id % 7 = 1 THEN 'Error 404: the page was not found.'
+                          WHEN doc_id % 11 = 3 THEN 'ok'
+                          ELSE text END AS text,
+                     CASE WHEN doc_id % 13 = 5 THEN 404 ELSE 200 END AS status
+              FROM documents),
+            f AS (
+              SELECT url, status, text,
+                     (contains(lower(text), 'page not found')
+                      OR contains(lower(text), 'error 404')
+                      OR contains(lower(text), '404 not found')
+                      OR contains(lower(text), 'could not be found')
+                      OR contains(lower(text), 'no longer available')
+                      OR contains(lower(text), 'does not exist')
+                      OR contains(lower(text), 'page introuvable')
+                      OR contains(lower(text), 'n''existe pas')) AS marker,
+                     length(trim(text)) < 80 AS thin
+              FROM p)
+            SELECT url, status,
+                   CASE WHEN marker THEN 'marker' WHEN thin THEN 'thin' END AS reason,
+                   status = 200 AND (marker OR thin) AS is_soft404
+            FROM f
+        """,
+        # two synthetic checks per resource; validator class d%3
+        # (0=etag, 1=last-modified, 2=none), d%5=0 → validator changed
+        "conditional_fetch": r"""
+            WITH c AS (
+              SELECT doc_id AS d,
+                     'host' || (doc_id % 20) || '.example.com' AS domain,
+                     CAST(1000 + (doc_id * 7) % 5000 AS BIGINT) AS filesize2,
+                     (doc_id % 3) AS vclass,
+                     (doc_id % 5 = 0) AS changed
+              FROM documents)
+            SELECT domain,
+                   CAST(COUNT(*) AS BIGINT) AS refetches,
+                   CAST(SUM(CASE WHEN vclass IN (0, 1) AND NOT changed
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS revalidatable,
+                   CAST(round(SUM(CASE WHEN vclass IN (0, 1) AND NOT changed
+                                       THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+                        AS DOUBLE) AS revalidatable_pct,
+                   CAST(SUM(CASE WHEN vclass IN (0, 1) AND NOT changed
+                                 THEN filesize2 ELSE 0 END) AS BIGINT) AS bytes_saved
+            FROM c GROUP BY domain
+        """,
+        # the link_extract resolution replayed, then aggregated per
+        # source host
+        "link_stats": r"""
+            WITH l AS (
+              SELECT 'host' || (doc_id % 20) || '.example.com' AS src_host,
+                     unnest(['ext' || (doc_id % 5) || '.example.org',
+                             'host' || (doc_id % 20) || '.example.com',
+                             'cdn' || (doc_id % 3) || '.example.net',
+                             'host' || (doc_id % 20) || '.example.com']) AS dst_host
+              FROM documents)
+            SELECT src_host,
+                   CAST(COUNT(*) AS BIGINT) AS outlinks,
+                   CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS distinct_hosts,
+                   CAST(SUM(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)
+                        AS BIGINT) AS internal,
+                   CAST(round(SUM(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)::DOUBLE
+                              / COUNT(*), 4) AS DOUBLE) AS internal_ratio
+            FROM l GROUP BY src_host
+        """,
+        # mirrored bodies: groups of 3 consecutive ids share content
+        # unless d%9<3 (unique → filtered by the n_hosts>=2 gate)
+        "mirror_detect": r"""
+            WITH p AS (
+              SELECT 'https://host' || (doc_id % 20) || '.example.com/doc/' || doc_id AS url,
+                     'host' || (doc_id % 20) || '.example.com' AS host,
+                     md5('content-' || CAST(CASE WHEN doc_id % 9 < 3 THEN doc_id
+                                                 ELSE doc_id - doc_id % 3 END AS VARCHAR)) AS digest
+              FROM documents)
+            SELECT digest,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   MIN(url) AS canonical_url
+            FROM p GROUP BY digest HAVING COUNT(DISTINCT host) >= 2
         """,
     }

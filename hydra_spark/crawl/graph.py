@@ -234,3 +234,36 @@ def score_frontier_by_anchors(
             ).alias("priority"),
         )
     )
+
+
+def host_link_stats(links: DataFrame, url_col: str = "url", link_col: str = "link") -> DataFrame:
+    """Per-source-host outlink profile over `extract_links` output:
+    how many links a host emits, how many distinct hosts it points at,
+    and what fraction stays on-host.  These are the classic frontier-
+    planning inputs (Cho & Garcia-Molina, "Parallel crawlers", WWW
+    2002): a host with a high external fan-out seeds discovery; a
+    near-1.0 internal ratio flags a self-linking silo (or a trap).
+
+    Scale: ONE aggregate keyed on source host (cardinality = hosts,
+    not pages); count/sum combine map-side, the distinct-host count is
+    a standard partial-distinct expand. No UDFs.
+    Returns (src_host, outlinks, distinct_hosts, internal, internal_ratio)."""
+    src = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    dst = F.lower(F.regexp_extract(F.col(link_col), _HOST_RE, 1))
+    return (
+        links.select(src.alias("src_host"), dst.alias("dst_host"))
+        .groupBy("src_host")
+        .agg(
+            F.count(F.lit(1)).alias("outlinks"),
+            F.countDistinct("dst_host").alias("distinct_hosts"),
+            F.sum(
+                F.when(F.col("dst_host") == F.col("src_host"), 1).otherwise(0)
+            ).alias("internal"),
+            F.round(
+                F.sum(
+                    F.when(F.col("dst_host") == F.col("src_host"), 1).otherwise(0)
+                ) / F.count(F.lit(1)),
+                4,
+            ).alias("internal_ratio"),
+        )
+    )

@@ -555,3 +555,37 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .distinct()
     )
+
+
+def mirror_sets(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    digest_col: str | None = None,
+    min_hosts: int = 2,
+) -> DataFrame:
+    """Cross-host mirror detection (Bharat & Broder, "Mirror, mirror on
+    the web", WWW 1999; Cho, Shivakumar & Garcia-Molina, "Finding
+    replicated Web collections", SIGMOD 2000): group pages by content
+    digest and keep the digests served from ≥ `min_hosts` distinct
+    hosts.  A crawler uses the result to collapse mirrored trees to one
+    canonical host before recrawl budgeting; a corpus builder uses it
+    as the cross-site tier of exact dedup.
+
+    Scale: pages reduce to (digest, host, url) in the scan — text never
+    shuffles — then ONE aggregate keyed on digest (map-side combinable
+    counts; min(url) picks the deterministic canonical).  Returns
+    (digest, n_hosts, n_urls, canonical_url)."""
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)"
+    digest = F.col(digest_col) if digest_col else F.md5(F.col(text_col))
+    host = F.lower(F.regexp_extract(F.col(url_col), host_re, 1))
+    return (
+        df.select(digest.alias("digest"), host.alias("host"), F.col(url_col).alias("url"))
+        .groupBy("digest")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("url").alias("canonical_url"),
+        )
+        .where(F.col("n_hosts") >= min_hosts)
+    )
