@@ -2354,6 +2354,9 @@ def oracle_sql() -> dict[str, str]:
               200 AS status,
               CAST(length(text) AS BIGINT) AS filesize,
               CASE WHEN substring(text,1,5) = '<html' THEN 'text/html'
+                   WHEN substring(text,1,1) = '{{'
+                        AND strpos(substring(text,1,200), '"FeatureCollection"') > 0
+                        THEN 'application/vnd.geo+json'
                    WHEN len(string_split(string_split(substring(text,1,200), chr(10))[1], ',')) >= 3
                         AND strpos(substring(text,1,200), chr(10)) > 0 THEN 'text/csv'
                    ELSE 'text/plain' END AS mime_type

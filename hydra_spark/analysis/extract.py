@@ -85,10 +85,14 @@ def extract_text_jvm(html_col: Column) -> Column:
     fallback = F.trim(
         F.regexp_replace(F.regexp_replace(s, "<[^>]+>", " "), r"(?U)\s+", " ")
     )
-    return F.when(
-        s.startswith("<html"),
-        F.when(has_p, F.regexp_extract(s, "<p>(.*)</p>", 1)).otherwise(fallback),
-    ).otherwise(s)
+    return (
+        F.when(s.startswith("PAR1"), F.lit(""))  # parquet: no prose, twin of python PAR1 branch
+        .when(
+            s.startswith("<html"),
+            F.when(has_p, F.regexp_extract(s, "<p>(.*)</p>", 1)).otherwise(fallback),
+        )
+        .otherwise(s)
+    )
 
 
 def extracted_text_sha1(html_col: Column) -> Column:

@@ -82,6 +82,11 @@ def _analyse_one(
     url: str, rid: str, did: str, data: bytes, table: str, prev_inspection: dict | None = None
 ) -> list[tuple]:
     data = _gunzip_if_needed(data)
+    if data[:4] == b"PAR1":
+        # crawled Parquet resource → typed rows + inspection, same
+        # output shape as the CSV path (data_formats/parquet/
+        # __init__.py:35-62 routes Parquet to inspect + to_db)
+        return _parquet_rows(url, rid, did, data, table)
     if data[:4] == b"PK\x03\x04" or data[:8] == _OLE2_MAGIC:
         # Excel (xlsx zip / legacy .xls OLE2): decode first sheet → CSV
         # text, then the shared inspect/cast pipeline (typing semantics
@@ -137,6 +142,72 @@ def _analyse_one(
     return out
 
 
+# pyarrow type-string → hydra scalar vocabulary (regex table, the
+# reference's PYARROW_TYPE_TO_PYTHON — conversion/schema.py:26-64;
+# dictionary types dig into the value type like the reference does)
+_PYARROW_TYPE_TO_PYTHON: list[tuple[str, str]] = [
+    (r"^bool", "bool"),
+    (r"^u?int", "int"),
+    (r"^(halffloat|float|double|decimal)", "float"),
+    (r"^timestamp", "datetime"),
+    (r"^date", "date"),
+    (r"^(large_)?(string|utf8)", "string"),
+    (r"^(large_)?binary", "binary"),
+    (r"^(large_)?(list|struct|map)", "json"),
+]
+
+
+def _parquet_rows(url: str, rid: str, did: str, data: bytes, table: str) -> list[tuple]:
+    """Typed ROWS_SCHEMA rows from an in-memory parquet payload: the
+    file IS typed, so values pass straight to JSON (no smart-cast); the
+    inspection carries the pyarrow-derived column types so
+    `load_parsed_table` builds the same dynamic CREATE TABLE as CSV."""
+    import io
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    try:
+        pf = _pq.ParquetFile(io.BytesIO(data))
+        header, columns = [], {}
+        for col in pf.schema_arrow:
+            header.append(col.name)
+            col_type = str(col.type)
+            if col_type.startswith("dictionary"):
+                col_type = str(col.type.value_type)
+            for pat, pytype in _PYARROW_TYPE_TO_PYTHON:
+                if _re.search(pat, col_type):
+                    columns[col.name] = pytype
+                    break
+            else:
+                raise ValueError(f"Unknown pyarrow type: {col.type}")
+        insp = {
+            "header": header,
+            "columns": {
+                name: {"format": pytype, "python_type": pytype}
+                for name, pytype in columns.items()
+            },
+            "total_lines": pf.metadata.num_rows,
+        }
+        records = pf.read().to_pylist()
+    except ValueError as e:
+        return [(table, rid, did, url, None, None, None, f"parquet:{e}")]
+    except Exception as e:
+        return [(table, rid, did, url, None, None, None, f"parquet:invalid file ({e})")]
+
+    insp_json = json.dumps(insp, default=_json_default)
+    out = []
+    for i, rec in enumerate(records, start=1):
+        row = {db_col_name(k): v for k, v in rec.items()}
+        out.append(
+            (table, rid, did, url, i, json.dumps(row, default=_json_default),
+             insp_json if i == 1 else None, None)
+        )
+    if not out:  # zero-row file: still record the inspection
+        out.append((table, rid, did, url, 0, None, insp_json, None))
+    return out
+
+
 def _gunzip_if_needed(data: bytes) -> bytes:
     """Transparent gzip extraction (utils/file.py:37-43)."""
     if data[:2] == b"\x1f\x8b":
@@ -155,6 +226,8 @@ def _extract_text_py(data: bytes) -> str:
     import re
 
     data = _gunzip_if_needed(data)
+    if data[:4] == b"PAR1":
+        return ""  # typed rows carry parquet content; no prose to extract
     if data[:4] == b"PK\x03\x04" or data[:8] == _OLE2_MAGIC:
         try:
             return "\n".join(",".join(r) for r in _excel_rows(data))

@@ -130,3 +130,87 @@ def upsert_catalog(
             store.seen.commit(bloom.build(result.select("url")))
 
     return {"snapshot": sid}
+
+
+def insert_resource(
+    spark: SparkSession,
+    store: StateStore,
+    resource_id: str,
+    url: str,
+    dataset_id: str | None = None,
+    title: str | None = None,
+    type: str | None = None,
+    format: str | None = None,
+    harvest_modified_at: str | None = None,
+    cfg: HydraConfig = DEFAULT,
+) -> dict:
+    """Single-resource catalog upsert (cli/catalog.py:115-173
+    `insert_resource_into_catalog` / :176-219 `insert_url_into_catalog`):
+    inserts or refreshes ONE frontier row without resyncing the whole
+    catalog. The reference resolves metadata from the data.gouv API;
+    here metadata comes from the caller (no network in the engine).
+    Returns {'action': 'insert'|'update', 'snapshot': id}.
+
+    Scale note: this is a debug/ops utility — ONE broadcast join against
+    the frontier and one merge commit; the matched row is undeleted and
+    its metadata refreshed, exactly the reference's ON CONFLICT UPDATE
+    (incl. `deleted = FALSE`)."""
+    row = spark.createDataFrame(
+        [(dataset_id, resource_id, url, type, format, title)],
+        "dataset_id string, resource_id string, url string, "
+        "type string, format string, title string",
+    ).withColumn(
+        "harvest_modified_at",
+        F.to_timestamp(F.lit(harvest_modified_at)) if harvest_modified_at else F.lit(None).cast("timestamp"),
+    )
+    if not store.frontier.exists():
+        sid = store.frontier.commit(as_frontier_rows(row, cfg), meta={"op": "insert_resource"})
+        return {"action": "insert", "snapshot": sid}
+
+    frontier = store.frontier.read(spark)
+    existed = frontier.where(F.col("resource_id") == resource_id).limit(1).count() > 0
+    if existed:
+        upd = F.broadcast(
+            row.select(
+                F.col("resource_id").alias("_rid"),
+                F.col("dataset_id").alias("_dsid"),
+                F.col("url").alias("_url"),
+                F.col("type").alias("_type"),
+                F.col("format").alias("_fmt"),
+                F.col("title").alias("_title"),
+                F.col("harvest_modified_at").alias("_hma"),
+            )
+        )
+        merged = (
+            frontier.join(upd, frontier.resource_id == upd._rid, "left")
+            .withColumn("dataset_id", F.coalesce("_dsid", "dataset_id"))
+            .withColumn("url", F.coalesce("_url", "url"))
+            .withColumn("type", F.coalesce("_type", "type"))
+            .withColumn("format", F.coalesce("_fmt", "format"))
+            .withColumn("title", F.coalesce("_title", "title"))
+            .withColumn("harvest_modified_at", F.coalesce("_hma", "harvest_modified_at"))
+            .withColumn(
+                "deleted",
+                F.when(F.col("_rid").isNotNull(), F.lit(False)).otherwise(F.col("deleted")),
+            )
+            .drop("_rid", "_dsid", "_url", "_type", "_fmt", "_title", "_hma")
+        )
+    else:
+        merged = frontier.unionByName(as_frontier_rows(row, cfg))
+    sid = store.frontier.commit(merged, meta={"op": "insert_resource"})
+    return {"action": "update" if existed else "insert", "snapshot": sid}
+
+
+def insert_url(
+    spark: SparkSession,
+    store: StateStore,
+    url: str,
+    resource_id: str,
+    cfg: HydraConfig = DEFAULT,
+) -> dict:
+    """`insert_url_into_catalog` twin (cli/catalog.py:176-219): fixed
+    dataset 'temp_external', type 'main', default format 'csv'."""
+    return insert_resource(
+        spark, store, resource_id, url,
+        dataset_id="temp_external", type="main", format="csv", cfg=cfg,
+    )

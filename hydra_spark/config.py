@@ -67,6 +67,11 @@ class HydraConfig:
     # inspection-reuse join can be switched off independently
     webhook_outbox: bool = True
     validate_then_detect: bool = True
+    # in-round format dispatch beyond CSV/Excel (config_default.toml
+    # GEOJSON_TO_PMTILES / PARQUET_TO_DB; data_formats/geojson/
+    # __init__.py:24-49, data_formats/parquet/__init__.py:35-62)
+    geojson_to_pmtiles: bool = True
+    parquet_to_db: bool = True
 
     # link discovery (Common-Crawl-style frontier growth; off by default
     # — the reference's frontier is the fixed udata catalog)

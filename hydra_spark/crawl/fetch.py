@@ -111,6 +111,7 @@ def simulate_fetch(
     is_wav = (F.hex(F.substring(F.col("html"), 1, 4)) == "52494646") & (
         F.hex(F.substring(F.col("html"), 9, 4)) == "57415645"
     )
+    is_parquet = F.hex(F.substring(F.col("html"), 1, 4)) == "50415231"  # PAR1
     # lenient UTF-8 (cast, not decode): gzip bodies are not valid UTF-8
     # and Spark 4's decode() raises on malformed input
     head = F.substring(F.col("html"), 1, 200).cast("string")
@@ -124,7 +125,16 @@ def simulate_fetch(
         .when(is_jpeg, F.lit("image/jpeg"))
         .when(is_gif, F.lit("image/gif"))
         .when(is_wav, F.lit("audio/x-wav"))
+        .when(is_parquet, F.lit("application/vnd.apache.parquet"))
         .when(head.startswith("<html"), F.lit("text/html"))
+        # GeoJSON sniff: JSON head declaring a FeatureCollection (the
+        # reference detects from catalog format / standard mime; our
+        # synthetic fetch has only the bytes) — checked before the CSV
+        # heuristic so comma-rich compact JSON can't be misread as CSV
+        .when(
+            head.startswith("{") & head.contains('"FeatureCollection"'),
+            F.lit("application/vnd.geo+json"),
+        )
         .when(looks_csv, F.lit("text/csv"))
         .otherwise(F.lit("text/plain"))
     )

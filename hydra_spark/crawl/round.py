@@ -170,10 +170,21 @@ def run_round(
     # are extracted transparently downstream (utils/file.py:37-43);
     # oversized downloads are refused (MAX_FILESIZE_ALLOWED,
     # utils/file.py:46-115) and recorded as an analysis error
+    from hydra_spark.analysis.georoute import GEOJSON_MIMES, PARQUET_MIMES
     from hydra_spark.analysis.xls import XLS_MIME
     from hydra_spark.analysis.xlsx import XLSX_MIME
 
-    size_cap = int(cfg.max_filesize_allowed.get("csv", cfg.max_filesize_allowed["default"]))
+    def _cap(fmt: str) -> int:
+        return int(cfg.max_filesize_allowed.get(fmt, cfg.max_filesize_allowed["default"]))
+
+    # per-format download cap (MAX_FILESIZE_ALLOWED is keyed by format
+    # in the reference — data_formats/*/max_filesize_allowed)
+    size_cap = _cap("csv")
+    size_cap_col = (
+        F.when(F.col("mime_type").isin(*PARQUET_MIMES), F.lit(_cap("parquet")))
+        .when(F.col("mime_type").isin(*GEOJSON_MIMES), F.lit(_cap("geojson")))
+        .otherwise(F.lit(size_cap))
+    )
     # on-demand checks re-analyse even when unchanged (routes/checks.py
     # check_resource(force_analysis=True) — SURVEY §3.2)
     if force_analysis is not None:
@@ -185,20 +196,35 @@ def run_round(
         ).drop("_farid")
     else:
         cur = cur.withColumn("_force_analysis", F.lit(False))
-    parseable = (
+    row_mimes = ["text/csv", "application/gzip", XLSX_MIME, XLS_MIME]
+    if cfg.parquet_to_db:
+        # fetched Parquet resources flow into the same typed-rows path
+        # (data_formats/parquet/__init__.py:35-62: inspect + to_db)
+        row_mimes += list(PARQUET_MIMES)
+    analysable = (
         ((F.col("change_status") != "unchanged") | F.col("_force_analysis"))
-        & F.col("mime_type").isin("text/csv", "application/gzip", XLSX_MIME, XLS_MIME)
         & F.col("status").isNotNull()
         & (F.col("status") < 400)
     )
+    parseable = analysable & F.col("mime_type").isin(*row_mimes)
+    geo_convertible = (
+        analysable
+        & F.col("mime_type").isin(*GEOJSON_MIMES)
+        & F.lit(cfg.geojson_to_pmtiles)
+    )
     # resources_exceptions bypass the size cap (J8, db/resource_exception.py)
     cur = with_exception_flag(cur, exceptions)
-    too_big = (F.col("filesize") > size_cap) & ~F.col("has_exception")
+    too_big = (F.col("filesize") > size_cap_col) & ~F.col("has_exception")
     cur = cur.withColumn(
         "parsing_table", F.when(parseable & ~too_big, F.md5(F.col("url")))
     ).withColumn(
+        "_geo_convert", geo_convertible & ~too_big
+    ).withColumn(
         "analysis_error",
-        F.when(parseable & too_big, F.lit(f"File too large (> {size_cap} bytes)")),
+        F.when(
+            (parseable | geo_convertible) & too_big,
+            F.concat(F.lit("File too large (> "), size_cap_col, F.lit(" bytes)")),
+        ),
     )
     cur = cur.persist()
     _mark("plan")
@@ -259,6 +285,36 @@ def run_round(
         .withColumn("parsing_finished_at", F.col("parsing_started_at"))
         .drop("_erid", "_perr")
     )
+
+    # ---- GeoJSON → PMTiles in-round dispatch (S14 glue; reference
+    # data_formats/geojson/__init__.py:24-49 converts from the same
+    # crawl path). GeoJSON resources are a sliver of any batch: the
+    # row-count probe costs one cached-scan filter, and the export
+    # itself distributes the tiling (analysis/georoute.py).
+    if cfg.geojson_to_pmtiles:
+        from hydra_spark.analysis.georoute import export_fetched_geojson
+
+        gj = cur.where(F.col("_geo_convert")).select("resource_id", "url", "html")
+        pmt_results = export_fetched_geojson(store.root, gj) if gj.limit(1).count() else []
+        if pmt_results:
+            pm = F.broadcast(
+                spark.createDataFrame(
+                    [(r["resource_id"], r["pmtiles_url"], r["pmtiles_size"]) for r in pmt_results],
+                    "_rid string, pmtiles_url string, pmtiles_size long",
+                ).withColumnRenamed("_rid", "_pmrid")
+            )
+            cur = (
+                cur.join(pm, cur.resource_id == F.col("_pmrid"), "left")
+                .withColumn(
+                    "parsing_finished_at",
+                    F.coalesce(
+                        F.col("parsing_finished_at"),
+                        F.when(F.col("_pmrid").isNotNull(), F.to_timestamp(F.lit(now))),
+                    ),
+                )
+                .drop("_pmrid")
+            )
+            _mark("geojson_pmtiles")
 
     # ---- checks append (fill analysis-only fields with NULLs) ----------
     have = set(cur.columns)

@@ -152,3 +152,42 @@ class TestSessionize:
         )
         import re
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_insert_resource_and_url(spark, tmp_path):
+    from hydra_spark.catalog import insert_resource, insert_url
+
+    store = StateStore(str(tmp_path))
+    # empty store: first insert seeds the frontier
+    res = insert_resource(spark, store, "r1", "http://a.com/1",
+                          dataset_id="d1", title="one")
+    assert res["action"] == "insert"
+    fr = {r["resource_id"]: r for r in store.frontier.read(spark).collect()}
+    assert fr["r1"]["title"] == "one" and not fr["r1"]["deleted"]
+
+    # second resource → plain insert, first row untouched
+    res = insert_resource(spark, store, "r2", "http://a.com/2", dataset_id="d1")
+    assert res["action"] == "insert"
+
+    # soft-delete r1 then re-insert: ON CONFLICT semantics — metadata
+    # refreshed AND undeleted (cli/catalog.py:141-145 deleted = FALSE)
+    upsert_catalog(spark, store, _cat(spark, [
+        ("d1", "r2", "http://a.com/2", "main", "csv", None, "two"),
+    ]))
+    assert store.frontier.read(spark).where("resource_id='r1'").first()["deleted"]
+    res = insert_resource(spark, store, "r1", "http://a.com/1-moved",
+                          dataset_id="d9", title="one-v2")
+    assert res["action"] == "update"
+    row = store.frontier.read(spark).where("resource_id='r1'").first()
+    assert row["url"] == "http://a.com/1-moved"
+    assert row["title"] == "one-v2" and row["dataset_id"] == "d9"
+    assert not row["deleted"]
+
+    # external-URL variant: fixed temp_external dataset + defaults
+    res = insert_url(spark, store, "http://ext.org/file.csv", "rext")
+    assert res["action"] == "insert"
+    row = store.frontier.read(spark).where("resource_id='rext'").first()
+    assert row["dataset_id"] == "temp_external"
+    assert row["type"] == "main" and row["format"] == "csv"
+    # frontier row count is exactly the 3 distinct resources
+    assert store.frontier.read(spark).count() == 3

@@ -219,3 +219,32 @@ def test_spark_submit_discovery_crawl(tmp_path):
     assert rounds and rounds[0]["n_discovered"] > 0
     total_checked = sum(r["n_checked"] for r in rounds)
     assert total_checked > 40  # grew well beyond the 40-page seed
+
+
+def test_spark_submit_insert_resource_and_url(tmp_path):
+    """jobs/insert_resource.py + jobs/insert_url.py (reference
+    cli/catalog.py:115-219): single-row catalog upserts via
+    spark-submit against a shared store."""
+    zip_path = tmp_path / "hydra_spark.zip"
+    subprocess.run([sys.executable, str(ROOT / "scripts" / "package.py"), str(zip_path)],
+                   check=True, capture_output=True)
+    store = tmp_path / "store"
+    out = _submit(tmp_path, zip_path, "insert_resource.py",
+                  ["--store", str(store), "--resource-id", "r1",
+                   "--url", "http://a.example.com/1.csv",
+                   "--dataset-id", "d1", "--title", "one"])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["action"] == "insert" and s["resource_id"] == "r1"
+
+    # same id again → update branch; url refreshed
+    out = _submit(tmp_path, zip_path, "insert_resource.py",
+                  ["--store", str(store), "--resource-id", "r1",
+                   "--url", "http://a.example.com/1-v2.csv"])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["action"] == "update"
+
+    out = _submit(tmp_path, zip_path, "insert_url.py",
+                  ["--store", str(store), "--url", "http://ext.org/data.csv",
+                   "--resource-id", "rext"])
+    s = [l for l in out if l.get("summary")][0]
+    assert s["action"] == "insert"
