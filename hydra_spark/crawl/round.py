@@ -330,6 +330,7 @@ def run_round(
     # udata webhook outbox (S16): payloads for changed checks
     if cfg.webhook_outbox:
         store.outbox.append(webhook_payloads(cur, now), round_id=round_id)
+        _mark("outbox_write")
     if robots_blocked is not None:
         rb = _robots_checks(robots_blocked, round_id, now, cfg)
         rb_have = set(rb.columns)
