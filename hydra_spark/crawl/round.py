@@ -295,13 +295,16 @@ def run_round(
         from hydra_spark.analysis.georoute import export_fetched_geojson
 
         gj = cur.where(F.col("_geo_convert")).select("resource_id", "url", "html")
-        pmt_results = export_fetched_geojson(store.root, gj) if gj.limit(1).count() else []
-        if pmt_results:
+        has_gj = bool(gj.limit(1).count())
+        pmt_results = export_fetched_geojson(store.root, gj) if has_gj else []
+        if has_gj:
+            pm_rows = [
+                (r["resource_id"], r["pmtiles_url"], r["pmtiles_size"]) for r in pmt_results
+            ] or [(None, None, None)]
             pm = F.broadcast(
                 spark.createDataFrame(
-                    [(r["resource_id"], r["pmtiles_url"], r["pmtiles_size"]) for r in pmt_results],
-                    "_rid string, pmtiles_url string, pmtiles_size long",
-                ).withColumnRenamed("_rid", "_pmrid")
+                    pm_rows, "_pmrid string, pmtiles_url string, pmtiles_size long"
+                ).where(F.col("_pmrid").isNotNull())
             )
             cur = (
                 cur.join(pm, cur.resource_id == F.col("_pmrid"), "left")
@@ -310,6 +313,19 @@ def run_round(
                     F.coalesce(
                         F.col("parsing_finished_at"),
                         F.when(F.col("_pmrid").isNotNull(), F.to_timestamp(F.lit(now))),
+                    ),
+                )
+                # a geojson resource that produced NO archive (malformed
+                # JSON / zero parseable features) records a parse error,
+                # like the reference's ParseException path
+                .withColumn(
+                    "analysis_error",
+                    F.coalesce(
+                        F.col("analysis_error"),
+                        F.when(
+                            F.col("_geo_convert") & F.col("_pmrid").isNull(),
+                            F.lit("geojson:no parseable features"),
+                        ),
                     ),
                 )
                 .drop("_pmrid")

@@ -141,3 +141,21 @@ def test_config_gates_off(spark, tmp_path_factory):
     assert checks["https://host2.example.com/zones.geojson"]["pmtiles_url"] is None
     # CSV still parses with the dispatch gates off
     assert checks["https://host3.example.com/table.csv"]["parsing_table"] is not None
+
+
+def test_malformed_geojson_records_error(spark, tmp_path_factory):
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    bad = b'{"type": "FeatureCollection", "features": [{"type": "Feature"}]'  # truncated
+    pages = spark.createDataFrame(
+        [("https://host9.example.com/bad.geojson", ts, bad, "", "fr")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    store = StateStore(str(tmp_path_factory.mktemp("fmt_bad")))
+    init_state(store, generate_frontier(spark, pages))
+    run_crawl(spark, pages=pages, store=store, cfg=DEFAULT.with_(batch_size=10), rounds=1)
+    c = store.checks.read(spark).first()
+    assert c["mime_type"] == "application/vnd.geo+json"
+    assert c["pmtiles_url"] is None
+    assert c["analysis_error"] == "geojson:no parseable features"
