@@ -223,6 +223,11 @@ def main() -> None:
             "anchor_score": lambda: q["anchor_score"](spark, sf_dir),
             "warc_parse": lambda: q["warc_parse"](spark, sf_dir),
             "warc_dedup": lambda: q["warc_dedup"](spark, sf_dir),
+            # round-5 additions
+            "soft404": lambda: q["soft404"](spark, sf_dir),
+            "conditional_fetch": lambda: q["conditional_fetch"](spark, sf_dir),
+            "link_stats": lambda: q["link_stats"](spark, sf_dir),
+            "mirror_detect": lambda: q["mirror_detect"](spark, sf_dir),
         }
         for name, fn in hot.items():
             t0 = time.time()
