@@ -159,3 +159,48 @@ def test_malformed_geojson_records_error(spark, tmp_path_factory):
     assert c["mime_type"] == "application/vnd.geo+json"
     assert c["pmtiles_url"] is None
     assert c["analysis_error"] == "geojson:no parseable features"
+
+
+def test_parquet_dictionary_and_unknown_types(spark):
+    """_parquet_rows directly: dictionary columns dig into the value
+    type (reference conversion/schema.py); an unmappable arrow type
+    becomes a parse-error row, not a crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hydra_spark.analysis.ingest import _parquet_rows
+
+    # dictionary<string> column
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"cat": pa.array(["a", "b", "a"]).dictionary_encode(),
+                  "ts": pa.array([1, 2, 3], type=pa.timestamp("us"))}),
+        buf,
+    )
+    rows = _parquet_rows("u", "r", "d", buf.getvalue(), "t")
+    insp = json.loads(rows[0][6])
+    assert insp["columns"]["cat"]["python_type"] == "string"
+    assert insp["columns"]["ts"]["python_type"] == "datetime"
+    assert len(rows) == 3 and rows[0][7] is None
+
+    # duration type has no mapping -> error row with the reference's message shape
+    buf2 = io.BytesIO()
+    pq.write_table(pa.table({"d": pa.array([1], type=pa.duration("s"))}), buf2)
+    err = _parquet_rows("u", "r", "d", buf2.getvalue(), "t")
+    assert len(err) == 1 and err[0][7].startswith("parquet:Unknown pyarrow type")
+
+    # truncated payload -> error row (pyarrow reports corrupt magic)
+    bad = _parquet_rows("u", "r", "d", b"PAR1garbage", "t")
+    assert bad[0][7].startswith("parquet:") and "magic" in bad[0][7]
+
+
+def test_gzipped_parquet_roundtrip(spark):
+    """gzip wrapper is stripped before magic dispatch (utils/file.py
+    transparent extraction) - a .parquet.gz resource still ingests."""
+    import gzip
+
+    from hydra_spark.analysis.ingest import _analyse_one
+
+    rows = _analyse_one("u", "r", "d", gzip.compress(_parquet_bytes()), "t")
+    assert len(rows) == 3 and rows[0][7] is None
+    assert json.loads(rows[1][5])["n"] == 2
