@@ -78,6 +78,13 @@ class HydraConfig:
     discover_links: bool = False
     max_links_per_page: int = 1000
     discover_same_host_only: bool = False
+    # adaptive trap defense (crawl/traps.py → F1 exclusion inside
+    # run_crawl): re-mine URL templates every N rounds; 0 = off.
+    # trap_min_urls must sit ABOVE the legit per-host page fan-out or
+    # real templates get excluded (BENCH/longrun_discovery_r05.json)
+    mine_traps_every: int = 0
+    trap_min_urls: int = 5000
+    trap_max_patterns: int = 100
 
     def with_(self, **kw) -> "HydraConfig":
         return replace(self, **kw)

@@ -40,7 +40,16 @@ def run_crawl(
     force_analysis=None,
     crawl_delays=None,
 ) -> list[dict]:
-    """Run `rounds` rounds, resuming after the last committed one."""
+    """Run `rounds` rounds, resuming after the last committed one.
+
+    When ``cfg.mine_traps_every > 0``, every Nth round first mines URL
+    templates over the frontier (crawl/traps.py) and extends the F1
+    exclusion patterns for THIS process's subsequent rounds — the
+    adaptive trap defense proven out in
+    BENCH/longrun_discovery_r05.json. The mined patterns are process-
+    local (cfg is immutable); a deployment that wants them durable
+    persists the miner's report itself.
+    """
     start = datetime.strptime(start_now, TS_FMT)
     # crash recovery: a killed round may have appended batches (checks,
     # outputs, frontier deltas, ...) without reaching commit_round —
@@ -48,7 +57,16 @@ def run_crawl(
     store.prune_uncommitted()
     first = store.last_round() + 1
     out = []
+    base_patterns = tuple(cfg.excluded_patterns)
     for r in range(first, first + rounds):
+        if cfg.mine_traps_every and r > 1 and (r - first) % cfg.mine_traps_every == 0:
+            from hydra_spark.crawl.traps import trap_exclusion_patterns, url_templates
+
+            pats = trap_exclusion_patterns(
+                url_templates(store.frontier.read(spark), min_urls=cfg.trap_min_urls),
+                max_patterns=cfg.trap_max_patterns,
+            )
+            cfg = cfg.with_(excluded_patterns=base_patterns + tuple(pats))
         now = (start + timedelta(seconds=(r - 1) * round_interval_s)).strftime(TS_FMT)
         out.append(run_round(spark, store, pages, cfg, round_id=r, now=now, robots_rules=robots_rules, exceptions=exceptions, force_analysis=force_analysis, crawl_delays=crawl_delays))
     return out

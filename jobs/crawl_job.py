@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="synthesize the linked-page graph corpus instead of the mixed one")
     p.add_argument("--seed-every", type=int, default=None,
                    help="seed only every Nth page into the frontier (discovery demos)")
+    p.add_argument("--mine-traps-every", type=int, default=0,
+                   help="re-mine crawler-trap URL templates every N rounds (0 = off)")
+    p.add_argument("--trap-min-urls", type=int, default=5000,
+                   help="template fan-out threshold; keep above legit pages-per-host")
     args = p.parse_args(argv)
 
     # spark-submit owns master/deploy-mode; only job-level SQL conf here.
@@ -83,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         init_state(store, generate_frontier(spark, seed_pages))
 
-    cfg = DEFAULT.with_(batch_size=args.batch_size, discover_links=args.discover_links)
+    cfg = DEFAULT.with_(
+        batch_size=args.batch_size, discover_links=args.discover_links,
+        mine_traps_every=args.mine_traps_every, trap_min_urls=args.trap_min_urls,
+    )
     results = run_crawl(spark, store, pages, cfg, rounds=args.rounds)
     for r in results:
         print(json.dumps({k: v for k, v in r.items() if not isinstance(v, dict)}))

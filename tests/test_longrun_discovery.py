@@ -101,3 +101,30 @@ def test_trap_rows_remain_on_frontier_but_ineligible(spark, growth_run):
     trap_rows = fr.where("url like 'https://trap.example.com/%'").count()
     assert trap_rows > 0  # enqueued before mining — kept, just excluded
     assert rounds[-1]["trap_rows_checked"] < trap_rows  # never fully crawled
+
+
+def test_run_crawl_mines_traps_itself(spark, tmp_path):
+    """cfg.mine_traps_every makes the adaptive trap defense a loop
+    feature: no caller-side mining, same freeze behavior."""
+    from bench_longrun_discovery import build_corpus
+
+    corpus, pid = build_corpus(spark, 2000, cpus=4)
+    store = StateStore(str(tmp_path / "store"))
+    init_state(store, generate_frontier(spark, corpus.where(pid % 50 == 0)))
+    n_corpus = corpus.count()
+    cfg = DEFAULT.with_(
+        batch_size=n_corpus, backoff_nb_req=10**9, discover_links=True,
+        mine_traps_every=3, trap_min_urls=150,
+    )
+    run_crawl(spark, store, corpus, cfg, rounds=9)
+    checks = store.checks.read(spark)
+    trap = checks.where("url like 'https://trap.example.com/%'")
+    # the trap was entered, then frozen well short of its 2000-URL space
+    n_trap = trap.count()
+    assert 0 < n_trap < 1500
+    # legit corpus still (nearly) fully covered
+    legit = checks.where(
+        "status is not null and url not like 'https://trap.example.com/%'"
+    )
+    assert legit.select("url").distinct().count() >= int(0.99 * 2000)
+    corpus.unpersist()
