@@ -44,8 +44,9 @@ def query_counts() -> tuple[int, int]:
 PATTERNS = [
     (r"(pytest tests/ -x -q\s+# )\d+ tests", r"\g<1>{tests} tests"),
     (r"— \d+ queries, EVERY one", "— {queries} queries, EVERY one"),
-    (r"currently \d+ queries and \d+ tests",
-     "currently {queries} queries and {tests} tests"),
+    # the COVERAGE.md header wraps — allow a line break inside the phrase
+    (r"currently \d+(\s+)queries and \d+ tests",
+     "currently {queries}\\g<1>queries and {tests} tests"),
 ]
 
 
