@@ -97,7 +97,9 @@ def run_variant(n: int, hot: float) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/skew_r04.json"
+    # default to a round-neutral name — a hardcoded round file silently
+    # overwrites prior-round evidence on re-runs
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH/skew.json"
     uniform = run_variant(n, 0.0)
     hot = run_variant(n, 0.5)
     ratio = hot["wall_s"] / uniform["wall_s"]
