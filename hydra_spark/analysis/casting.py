@@ -205,15 +205,51 @@ def value_types(v: str) -> set[str]:
     return out
 
 
+def _filter_types(cand: set[str], v: str) -> set[str]:
+    """``cand & value_types(v)`` without probing types already ruled
+    out — on a column whose candidates have narrowed to {string,int,
+    float} this skips the date/datetime/json parses entirely. The
+    result is provably identical to the full intersection because every
+    skipped probe could only add types outside ``cand``."""
+    s = v.strip()
+    out = {"string"}
+    low = s.lower()
+    if "bool" in cand and low in _BOOL:
+        out.add("bool")
+    if "int" in cand or "float" in cand:
+        if _INT_RE.match(s):
+            out.add("int")
+            out.add("float")
+        elif "float" in cand and (_FLOAT_RE.match(s) or low in _FLOAT_SPECIAL):
+            out.add("float")
+    if "json" in cand and s[:1] in "{[":
+        try:
+            json.loads(s)
+            out.add("json")
+        except ValueError:
+            pass
+    if "date" in cand and parse_date(s) is not None:
+        out.add("date")
+    if "datetime" in cand or "datetime_aware" in cand:
+        dt = parse_datetime(s)
+        if dt is not None:
+            out.add("datetime_aware" if dt[1] else "datetime")
+    return cand & out
+
+
 def detect_column_type(values: list[str | None]) -> str:
     """Most specific type every non-empty value supports (csv-detective's
-    scoring, simplified to unanimity — sufficient for the corpus)."""
+    scoring, simplified to unanimity — sufficient for the corpus).
+
+    The first value seeds the candidate set; later values only re-test
+    the types still standing (`_filter_types`), so a numeric column
+    costs one regex per value instead of the full date/json probe."""
     candidates: set[str] | None = None
     for v in values:
         if v is None or str(v).strip() == "":
             continue
-        t = value_types(str(v))
-        candidates = t if candidates is None else candidates & t
+        s = str(v)
+        candidates = value_types(s) if candidates is None else _filter_types(candidates, s)
         if candidates == {"string"}:
             return "string"
     if not candidates:

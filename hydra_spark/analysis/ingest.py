@@ -22,6 +22,7 @@ number within the file — deterministic, computed during the parse.
 from __future__ import annotations
 
 import json
+import math
 from collections.abc import Iterator
 from datetime import date, datetime
 
@@ -31,8 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hydra_spark.analysis.casting import smart_cast_cell
-from hydra_spark.analysis.inspect import ParsingError, inspect_csv, validate_inspection
+from hydra_spark.analysis.casting import smart_cast_cell  # noqa: F401 (back-compat re-export)
+from hydra_spark.analysis.inspect import (
+    ParsingError,
+    _inspect_csv_full,
+    _validate_inspection_full,
+    inspect_csv,  # noqa: F401 (back-compat re-export)
+    validate_inspection,  # noqa: F401 (back-compat re-export)
+)
 from hydra_spark.schemas import PYTHON_TYPE_TO_SPARK, db_col_name
 
 ROWS_SCHEMA = T.StructType(
@@ -78,6 +85,52 @@ def _json_default(v):
     return str(v)
 
 
+# one shared encoder: byte-identical to json.dumps(..., default=_json_default)
+# (same separators/ensure_ascii defaults) without rebuilding a JSONEncoder
+# per row — this runs once per parsed CSV line in the crawl's hot pass
+_json_encode = json.JSONEncoder(default=_json_default).encode
+
+
+def _row_json(prefixes: list[str], vals: list) -> "str | None":
+    """Fast hand-rolled twin of ``_json_encode(dict(zip(header, vals)))``
+    for the all-scalar common case; returns None when any value falls
+    outside the provably byte-identical fast lanes (caller then uses the
+    shared stdlib encoder).
+
+    prefixes[i] is the pre-encoded '"<key>": ' fragment (built once per
+    file). Fast lanes and why they match json.dumps exactly:
+    - None → 'null'; bool → 'true'/'false' (checked before int — bool is
+      an int subclass)
+    - int → repr(int), which IS json's integer encoding
+    - finite float → repr(float): CPython json uses float.__repr__ for
+      finite values (non-finite go through allow_nan → fall back)
+    - ASCII printable str without '"' or '\\' → '"<s>"' verbatim: json
+      escapes only control chars, the two quoted chars, and (under
+      ensure_ascii) non-ASCII — all excluded by the guard
+    """
+    parts = []
+    for i, v in enumerate(vals):
+        if v is None:
+            parts.append(prefixes[i] + "null")
+        elif isinstance(v, bool):
+            parts.append(prefixes[i] + ("true" if v else "false"))
+        elif isinstance(v, int):
+            parts.append(prefixes[i] + repr(v))
+        elif isinstance(v, float):
+            if math.isfinite(v):
+                parts.append(prefixes[i] + repr(v))
+            else:
+                return None
+        elif isinstance(v, str):
+            if '"' not in v and "\\" not in v and v.isascii() and v.isprintable():
+                parts.append(prefixes[i] + '"' + v + '"')
+            else:
+                return None
+        else:  # date/datetime/anything exotic → stdlib default path
+            return None
+    return "{" + ", ".join(parts) + "}"
+
+
 def _analyse_one(
     url: str, rid: str, did: str, data: bytes, table: str, prev_inspection: dict | None = None
 ) -> list[tuple]:
@@ -105,36 +158,33 @@ def _analyse_one(
     # validate_then_detect (csv_like/__init__.py:41-50): when a previous
     # inspection exists and the file still conforms, reuse it — stable
     # types across re-crawls, no re-detection cost
-    insp = validate_inspection(data, prev_inspection) if prev_inspection else None
+    res = _validate_inspection_full(data, prev_inspection) if prev_inspection else None
     try:
-        if insp is None:
-            insp = inspect_csv(data)
+        if res is None:
+            res = _inspect_csv_full(data)
     except ParsingError as e:
         # error string format: data_formats/csv_like/__init__.py analysis
         # error reporting (tests/test_analysis/test_analysis_csv.py:104-151)
         return [(table, rid, did, url, None, None, None, f"csv_detective:{e}")]
 
-    import csv as _csv
-    import io as _io
-
-    text = data.decode(insp["encoding"])
-    reader = _csv.reader(_io.StringIO(text), delimiter=insp["separator"])
-    rows = [r for r in reader if r]
-    hidx = insp.get("header_row_idx", 0)  # preamble lines before the header
+    # the full variants hand back the parsed body + cast matrix from
+    # their single pass — no re-parse, no re-cast here (failsafe NULLs
+    # already applied, utils/casting.py:21-25); dict(zip(...)) truncates
+    # at the narrower of header/row exactly like the per-cell loop did
+    insp, _body, casted = res
     header = [db_col_name(h) for h in insp["header"]]
-    types = [insp["columns"][h]["python_type"] for h in insp["header"]]
+    # fast row encoder needs positional emission == dict emission, which
+    # only holds when keys are unique (dict collapses duplicates)
+    prefixes = [_json_encode(k) + ": " for k in header] if len(set(header)) == len(header) else None
 
     out = []
-    insp_json = json.dumps(insp, default=_json_default)
-    for i, r in enumerate(rows[hidx + 1 :], start=1):
-        rec = {}
-        for name, t, v in zip(header, types, r):
-            try:
-                rec[name] = smart_cast_cell(t, v)
-            except ValueError:
-                rec[name] = None  # failsafe NULL (utils/casting.py:21-25)
+    insp_json = _json_encode(insp)
+    for i, vals in enumerate(casted, start=1):
+        rj = _row_json(prefixes, vals) if prefixes is not None else None
+        if rj is None:
+            rj = _json_encode(dict(zip(header, vals)))
         out.append(
-            (table, rid, did, url, i, json.dumps(rec, default=_json_default),
+            (table, rid, did, url, i, rj,
              insp_json if i == 1 else None, None)
         )
     if not out:  # header-only file: still record the inspection

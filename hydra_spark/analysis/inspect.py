@@ -66,6 +66,11 @@ def detect_dialect(text: str) -> tuple[str, int]:
     best: tuple[int, int, str] | None = None  # (header_idx, -ncols, sep)
     ragged: str | None = None
     for sep in SEPARATORS:
+        if sep not in text:
+            # an absent delimiter can only ever produce 1-column rows:
+            # never a candidate (needs ≥2 cols) and never ragged (same
+            # bound) — skipping the parse is outcome-identical
+            continue
         try:
             rows = [r for r in _rows(text, sep, HEADER_SCAN_ROWS + MAX_PREAMBLE_ROWS) if r]
         except csv.Error:
@@ -108,7 +113,9 @@ def detect_separator(text: str) -> str:
     return detect_dialect(text)[0]
 
 
-def validate_inspection(data: bytes, prev: dict) -> dict | None:
+def _validate_inspection_full(
+    data: bytes, prev: dict
+) -> "tuple[dict, list[list[str]], list[list]] | None":
     """`validate_then_detect`'s validation half (reference:
     data_formats/csv_like/__init__.py:41-50; truth table in
     tests/test_analysis/test_analysis_csv.py:351-474): the new file
@@ -135,13 +142,25 @@ def validate_inspection(data: bytes, prev: dict) -> dict | None:
     ncols = len(prev["header"])
     if any(len(r) != ncols for r in body[: HEADER_SCAN_ROWS - 1]):
         return None
+    # validation and casting fused: the conformance check already casts
+    # every non-refined cell, so capture the results column-major and
+    # transpose at the end instead of paying a second full cast pass
+    col_casted: list[list] = []
     for j, name in enumerate(prev["header"]):
         col = prev["columns"][name]
         t = col["python_type"]
         refined = col.get("format") in FORMAT_CHECKS
-        values = [r[j] if j < len(r) else None for r in body]
-        for v in values:
+        cc = []
+        for r in body:
+            v = r[j] if j < len(r) else None
             if v is None or str(v).strip() == "":
+                # empty-for-validation cells still need the output cast
+                # semantics: ''/None → NULL, whitespace-only survives
+                # only for string/json, everything else fails → NULL
+                try:
+                    cc.append(smart_cast_cell(t, v))
+                except ValueError:
+                    cc.append(None)
                 continue
             if refined:
                 # refined format (e.g. siret, latitude) must still match
@@ -149,16 +168,76 @@ def validate_inspection(data: bytes, prev: dict) -> dict | None:
                 # format drift like siret → date
                 if not format_matches(col["format"], str(v).strip()):
                     return None
+                try:
+                    cc.append(smart_cast_cell(t, v))
+                except ValueError:
+                    cc.append(None)
                 continue
             try:
-                smart_cast_cell(t, v)
+                cc.append(smart_cast_cell(t, v))
             except ValueError:
                 return None
+        col_casted.append(cc)
+    # row-major, truncated at each row's own width (missing trailing
+    # cells stay ABSENT, not NULL — the row-output dict must not gain keys)
+    casted = [
+        [col_casted[j][i] for j in range(min(len(r), ncols))]
+        for i, r in enumerate(body)
+    ]
     out = dict(prev)
     out["total_lines"] = len(body)
-    out["profile"] = _profile(prev["header"], prev["columns"], body)
+    out["profile"] = _profile_from_casted(prev["header"], prev["columns"], casted)
     out["from_validation"] = True
-    return out
+    return out, body, casted
+
+
+def validate_inspection(data: bytes, prev: dict) -> dict | None:
+    """Public wrapper over `_validate_inspection_full` (inspection only)."""
+    res = _validate_inspection_full(data, prev)
+    return None if res is None else res[0]
+
+
+def _cast_matrix(header: list[str], cols: dict, body: list[list[str]]) -> list[list]:
+    """smart-cast every cell ONCE (failsafe NULL), row-major, truncated
+    at the header width like the original per-row zip() — shared by the
+    profile and the row-output pass so no cell is ever cast twice."""
+    types = [cols[h]["python_type"] for h in header]
+    ncols = len(header)
+    casted = []
+    for r in body:
+        row = []
+        for t, v in zip(types, r[:ncols]):
+            try:
+                row.append(smart_cast_cell(t, v))
+            except ValueError:
+                row.append(None)
+        casted.append(row)
+    return casted
+
+
+def _profile_from_casted(header: list[str], cols: dict, casted: list[list]) -> dict:
+    """`_profile` computed from the shared cast matrix — identical
+    output (same smart_cast semantics, failures already NULLed)."""
+    profile = {}
+    for j, name in enumerate(header):
+        t = cols[name]["python_type"]
+        if t not in ("int", "float"):
+            continue
+        vals = [float(row[j]) for row in casted if j < len(row) and row[j] is not None]
+        if not vals:
+            profile[name] = {"min": None, "max": None, "mean": None, "std": None}
+            continue
+        has_inf = any(math.isinf(v) for v in vals)
+        finite = [v for v in vals if math.isfinite(v)]
+        mn = min(finite) if finite else None
+        if has_inf:
+            profile[name] = {"min": mn, "max": None, "mean": None, "std": None}
+        else:
+            n = len(vals)
+            mean = sum(vals) / n
+            std = (sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5 if n > 1 else None
+            profile[name] = {"min": mn, "max": max(vals), "mean": mean, "std": std}
+    return profile
 
 
 def _profile(header: list[str], cols: dict, body: list[list[str]]) -> dict:
@@ -193,6 +272,15 @@ def _profile(header: list[str], cols: dict, body: list[list[str]]) -> dict:
 
 
 def inspect_csv(data: bytes) -> dict:
+    """Public wrapper over `_inspect_csv_full` (inspection only)."""
+    return _inspect_csv_full(data)[0]
+
+
+def _inspect_csv_full(data: bytes) -> "tuple[dict, list[list[str]], list[list]]":
+    """(inspection, body_rows, cast_matrix): the single-parse,
+    single-cast variant the crawl's hot python pass consumes — body and
+    casts are computed once here instead of re-parsed/re-cast by the
+    caller (ingest._analyse_one) and the profile."""
     try:
         text = data.decode("utf-8")
         encoding = "utf-8"
@@ -228,13 +316,14 @@ def inspect_csv(data: bytes) -> dict:
             t = detect_column_type(values)
             cols[name] = {"format": t, "python_type": t, "score": 1.0}
 
-    profile = _profile(header, cols, body)
+    casted = _cast_matrix(header, cols, body)
+    profile = _profile_from_casted(header, cols, casted)
 
     formats: dict[str, list[str]] = {}
     for name, c in cols.items():
         formats.setdefault(c["format"], []).append(name)
 
-    return {
+    insp = {
         "encoding": encoding,
         "separator": sep,
         "header_row_idx": header_idx,
@@ -244,3 +333,4 @@ def inspect_csv(data: bytes) -> dict:
         "formats": formats,
         "profile": profile,
     }
+    return insp, body, casted

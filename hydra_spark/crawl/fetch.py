@@ -71,7 +71,16 @@ def simulate_fetch(
         F.col("warc_ts"),
         F.col("html"),
     )
-    df = batch.join(p, batch.url == p._purl, "left").drop("_purl")
+    # Join strategy (guide §3.1): small claims stay un-hinted so
+    # Catalyst broadcasts them (pages not reshuffled at all); production
+    # batches get SHUFFLE_HASH on the batch side — build the hash map
+    # from the claim (Spark 3.5+ supports build-left for LEFT OUTER,
+    # SPARK-36612) instead of the default sort-merge join, which would
+    # re-SORT the payload-carrying pages side (~GBs of html) every
+    # round. The batch carries ~150 B/row, so per-partition builds are
+    # a few MB; pages stream unsorted.
+    b = batch if cfg.batch_size <= cfg.bucket_claim_threshold else batch.hint("SHUFFLE_HASH")
+    df = b.join(p, b.url == p._purl, "left").drop("_purl")
 
     now_ts = F.to_timestamp(F.lit(now))
     no_netloc = url_domain("url").isNull() | (url_domain("url") == "")

@@ -118,6 +118,14 @@ def run_round(
     # view comes from the bounded base+delta read
     checks = store.checks.read(spark) if store.checks.exists() else None
     lc = store.latest_checks_view(spark)
+    if lc is not None:
+        # ONE pruned, persisted latest-check view per round: both
+        # consumers (the claim's next_check_at join and the change
+        # detection's prev-join) previously re-ran the latest-check
+        # window over the full history — and the projection keeps the
+        # window's shuffle to the 10 columns the round actually reads
+        # (guide §2.3/§2.4)
+        lc = lc.select("resource_id", *_PREV_COLS).persist()
 
     frontier = reset_stuck(frontier, cfg, now)
 
@@ -143,6 +151,12 @@ def run_round(
             F.col("resource_id").alias("_prid"),
             *[F.col(c).alias(f"prev_{c}") for c in _PREV_COLS],
         )
+        # SHUFFLE_HASH (guide §3.1): build on the slim prev-check side so
+        # the html-carrying fetched side streams without the sort-merge
+        # join's full sort of the payload bytes; small rounds stay
+        # un-hinted so Catalyst can broadcast the tiny prev side instead
+        if cfg.batch_size > cfg.bucket_claim_threshold:
+            prev = prev.hint("SHUFFLE_HASH")
         cur = fetched.join(prev, fetched.resource_id == prev._prid, "left").drop("_prid")
     else:
         cur = fetched
@@ -252,6 +266,11 @@ def run_round(
             .where("_rn = 1")
             .select(F.col("parsing_table").alias("_pt"), F.col("csv_detective").alias("prev_inspection"))
         )
+        # SHUFFLE_HASH: build on the inspection side, stream the
+        # html-carrying fetch rows unsorted (same rationale as the
+        # prev-checks join above); un-hinted for small rounds
+        if cfg.batch_size > cfg.bucket_claim_threshold:
+            prev_ti = prev_ti.hint("SHUFFLE_HASH")
         to_process = to_process.join(
             prev_ti, to_process.parsing_table == prev_ti._pt, "left"
         ).drop("_pt")
@@ -442,6 +461,8 @@ def run_round(
     batch.unpersist()
     cur.unpersist()
     parsed.unpersist()
+    if lc is not None:
+        lc.unpersist()
     wall = time.time() - t0
     summary = {
         "round": round_id,

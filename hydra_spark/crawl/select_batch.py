@@ -59,6 +59,12 @@ def select_batch(
         lc = latest_checks.select(
             F.col("resource_id").alias("_rid"), F.col("next_check_at")
         )
+        # SHUFFLE_HASH (guide §3.1): two narrow key-only sides — hash
+        # join skips the sort-merge join's sort of BOTH ~frontier-sized
+        # inputs; the build side is (resource_id, next_check_at) only.
+        # Small rounds stay un-hinted (Catalyst broadcasts the view).
+        if cfg.batch_size > cfg.bucket_claim_threshold:
+            lc = lc.hint("SHUFFLE_HASH")
         el = el.join(lc, el.resource_id == lc._rid, "left").drop("_rid")
     else:
         el = el.withColumn("next_check_at", F.lit(None).cast("timestamp"))

@@ -353,7 +353,11 @@ class FrontierTable:
         # drop it) but timestamps after that round's own updates
         w = Window.partitionBy("_urid").orderBy(F.desc("_delta_round"), F.desc("_upd_at"))
         latest = d.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
-        j = base.join(latest, base.resource_id == latest._urid, "left")
+        # SHUFFLE_HASH: delta rows are 4 narrow columns bounded by the
+        # rounds-since-compaction batch sizes — hash-build them instead
+        # of sort-merge-joining (which would sort the full frontier base
+        # on every MoR read)
+        j = base.join(latest.hint("SHUFFLE_HASH"), base.resource_id == latest._urid, "left")
         checked = F.col("_upd") == "checked"
         backoff = F.col("_upd") == "backoff"
         prioritize = F.col("_upd") == "prioritize"
