@@ -42,7 +42,12 @@ _STOP_FR = r"(?i)\b(" + "|".join(_FR) + r")\b"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # fan_out: the sf tables ship as one file / one row group, which
+    # caps scan parallelism at a single task (guide §2.5); no-op when
+    # the scan is already parallel enough (real tables at scale)
+    from hydra_spark.parallel import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------

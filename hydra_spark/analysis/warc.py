@@ -125,22 +125,38 @@ def build_warc(records: list[bytes], gzip_per_record: bool = True) -> bytes:
     return b"".join(records)
 
 
+_GUNZIP_CHUNK = 1 << 20  # bounded feed => bounded unused_data copies
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a stream of concatenated gzip members (stdlib
     gzip.decompress stops at the first member's unused data on some
-    malformed inputs; the decompressobj loop is explicit)."""
+    malformed inputs; the decompressobj loop is explicit).
+
+    Feeds each decompressor bounded chunks of a zero-copy memoryview
+    instead of the whole remaining buffer: the naive per-member
+    `d.decompress(data); data = d.unused_data` materializes a copy of
+    the REMAINDER per member — O(members x bytes), quadratic on
+    Common-Crawl-style segments with one gzip member per record."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = []
-    while data:
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(31)
         try:
-            out.append(d.decompress(data))
+            while pos < n:
+                chunk = view[pos : pos + _GUNZIP_CHUNK]
+                out.append(d.decompress(chunk))
+                pos += len(chunk)
+                if d.eof:
+                    pos -= len(d.unused_data)  # rewind past-member bytes
+                    break
         except zlib.error:
-            break
+            return b"".join(out)
         if not d.eof:
             break  # truncated final member — keep what decoded
-        data = d.unused_data
     return b"".join(out)
 
 
@@ -179,10 +195,29 @@ def iter_warc_records(data: bytes | bytearray | memoryview | None) -> Iterator[d
 
         warc_date = None
         if "warc-date" in fields:
-            try:
-                warc_date = datetime.strptime(fields["warc-date"], _DATE_FMT)
-            except ValueError:
-                warc_date = None
+            wd = fields["warc-date"]
+            # fast lane for the canonical 'YYYY-mm-ddTHH:MM:SSZ' shape
+            # (strptime is ~14 us/record); anything else falls back to
+            # strptime for identical strict/lenient behavior
+            if (
+                len(wd) == 20
+                and wd[4] == "-" and wd[7] == "-" and wd[10] == "T"
+                and wd[13] == ":" and wd[16] == ":" and wd[19] == "Z"
+                and wd[0:4].isdigit() and wd[5:7].isdigit() and wd[8:10].isdigit()
+                and wd[11:13].isdigit() and wd[14:16].isdigit() and wd[17:19].isdigit()
+            ):
+                try:
+                    warc_date = datetime(
+                        int(wd[0:4]), int(wd[5:7]), int(wd[8:10]),
+                        int(wd[11:13]), int(wd[14:16]), int(wd[17:19]),
+                    )
+                except ValueError:
+                    warc_date = None
+            else:
+                try:
+                    warc_date = datetime.strptime(wd, _DATE_FMT)
+                except ValueError:
+                    warc_date = None
         ctype = fields.get("content-type")
         http_status = None
         body = block

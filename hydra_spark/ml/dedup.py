@@ -23,6 +23,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from hydra_spark.parallel import fan_out
 from pyspark.sql import types as T
 
 from hydra_spark.ml.text import let_bound, shingle_hashes, shingles
@@ -67,6 +69,7 @@ def normalized(text: Column | str) -> Column:
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adds (content_hash, dup_group_size, is_canonical): canonical = min
     id per normalized-content hash. One shuffle, map-side combinable."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     h = F.md5(normalized(text_col))
     w = Window.partitionBy("content_hash")
     return (
@@ -111,6 +114,7 @@ def incremental_dedup(
     The updated digest table for the next snapshot is
     ``prior_digests ∪ kept-row digests`` (see `updated_digests`).
     """
+    new_df = fan_out(new_df)  # guide §2.5 scan-parallelism guard
     keyed = new_df.select(F.col(id_col), F.md5(normalized(text_col)).alias("digest"))
     w = Window.partitionBy("digest")
     firsts = keyed.withColumn("_first", F.min(id_col).over(w))
@@ -208,6 +212,7 @@ def minhash_lsh_candidates(
     oracle-check path; same banding machinery either way).
     """
     rows = k // bands
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(text_col, k, seed=seed, portable_md5=portable_md5).alias("sig"),
@@ -251,6 +256,7 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     toks = df.select(
         F.col(id_col).alias("_id"), F.array_distinct(shingles(text_col, ngram)).alias("toks")
     )
@@ -352,6 +358,7 @@ def snapshot_diff(
     join on id — no text ever shuffles; at 10^10 docs both digest
     tables can be bucketed by id so successive monthly diffs skip the
     shuffle entirely."""
+    old = fan_out(old); new = fan_out(new)  # guide §2.5 scan-parallelism guard
     o = old.select(
         F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_digest")
     )
@@ -446,6 +453,7 @@ def simhash(
     first 4 hex chars of md5(word) — the voting path is identical (bits
     16..63 simply never win), and the result is reproducible in any
     engine with md5 + nibble arithmetic (the oracle-check path)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if portable_md5:
         word_hash = lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 4), 16, 10).cast("long")  # noqa: E731
@@ -536,6 +544,7 @@ def embedding_near_dups(
     Hyperplane buckets are capped at `max_bucket`: a hot bucket (near-
     zero or heavily duplicated embeddings) would otherwise make the
     self-join quadratic — the one scale-killer in an uncapped LSH."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     from hydra_spark.ml.similarity import hyperplane_signature
 
     sig = hyperplane_signature(df, vec_col, n_planes=n_planes, seed=seed)
@@ -576,6 +585,7 @@ def mirror_sets(
     shuffles — then ONE aggregate keyed on digest (map-side combinable
     counts; min(url) picks the deterministic canonical).  Returns
     (digest, n_hosts, n_urls, canonical_url)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)"
     digest = F.col(digest_col) if digest_col else F.md5(F.col(text_col))
     host = F.lower(F.regexp_extract(F.col(url_col), host_re, 1))

@@ -40,6 +40,9 @@ def cosine_topk(
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the corpus — no corpus shuffle at all; the only shuffle is
     the final per-query top-k window."""
+    from hydra_spark.parallel import fan_out
+
+    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -397,6 +400,9 @@ def ann_topk(
     joined back exactly once afterwards. Carrying vectors through the
     candidate shuffles would cost ≈ candidates × 2 full vectors of
     shuffle bytes, the dominant term at corpus scale."""
+    from hydra_spark.parallel import fan_out
+
+    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
     # no silent caps: the scan fraction IS the recall lever — surface it
     frac = min(1.0, tables * (min(probes, n_planes) + 1) / 2 ** n_planes)
     logger.info(

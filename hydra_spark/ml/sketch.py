@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hydra_spark.parallel import fan_out
+
 __all__ = ["heavy_hitters", "token_heavy_hitters"]
 
 
@@ -126,6 +128,7 @@ def token_heavy_hitters(
     str.split per Arrow batch) — no exploded token table exists at any
     point, so the shuffle stays ≤ capacity+1 rows per partition no
     matter the corpus size."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     cap = capacity or 8 * k
 
     def toks(pdf: pd.DataFrame) -> pd.Series:

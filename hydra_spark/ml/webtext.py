@@ -41,6 +41,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hydra_spark.parallel import fan_out
+
 from .text import let_bound, shingles
 
 __all__ = [
@@ -140,6 +142,7 @@ def repetition_features(
     A doc exceeding Gopher's published thresholds (dup_line_frac > 0.30,
     top_2gram_char_frac > 0.20) is what a curation pipeline drops.
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     # Two projections: higher-order-function expressions are excluded
     # from Catalyst's common-subexpression elimination, so computing the
     # chunk array inline in every stat column would re-split the text
@@ -205,6 +208,7 @@ def chunk_dedup_corpus(
     Docs reduced to nothing keep an empty string, so kept+dropped
     accounting stays exact.
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     base = df.select("doc_id", chunk_segments(text_col, k).alias("chunks"))
     ex = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk")).withColumn(
         "chunk_h", F.xxhash64("chunk")
@@ -262,6 +266,7 @@ def unigram_lm_score(
 
     Returns (id_col, n_words, lm_score).
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     words = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
     )
@@ -302,6 +307,7 @@ def bigram_lm_score(
     as in the unigram scorer — joined against the exploded bigram
     stream, then ONE re-agg by doc. Returns (id, n_bigrams, lm2_score).
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), words_arr.alias("_w"))
     bigrams = F.when(
@@ -377,6 +383,7 @@ def pmi_collocations(
     ON the tiny bigram table itself — the corpus is never rescanned or
     shuffled beyond the two counts — and the final cut is
     TakeOrderedAndProject. Returns (prev, w, cnt, pmi)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(words_arr.alias("_w"))
     bigrams = F.when(
@@ -453,6 +460,7 @@ def stratified_sample(
     a row's fate never depends on other rows (no shuffle, no count —
     pure filter; exact binary rates like 0.5/0.25 compare exactly).
     Unlisted strata get ``default_rate``."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     pairs = []
     for s, r in sorted(rates.items()):
         pairs += [F.lit(s), F.lit(float(r))]
@@ -483,6 +491,7 @@ def exact_stratified_sample(
     keeps a bounded per-group heap on the map side and again post-
     shuffle, so no stratum is ever fully sorted or materialized; ONE
     shuffle on the stratum key."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     u = uniform_hash(F.col(key_col).cast("string"), seed)
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
     return (
@@ -508,6 +517,7 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     loose phone pattern (\+?\d[\d .-]{7,}\d) matches dotted digit runs,
     so un-redacted IPs would be mislabeled <PHONE>.
     Returns (id_col, text_redacted, n_emails, n_ips, n_phones)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     t = F.col(text_col)
     n_emails = F.coalesce(F.regexp_count(t, F.lit(PII_EMAIL)), F.lit(0))
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
@@ -530,6 +540,7 @@ def corpus_token_stats(df: DataFrame, text_col: str = "text", by: str = "source"
     tokens; histogram bucket = floor(tokens/32) keeps the stats exact
     (integer arithmetic, engine-portable) instead of approximate
     percentiles. One map-side-combinable aggregate."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_tokens = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
@@ -567,6 +578,7 @@ def pack_sequences(
     parallelize the sort; a single giant shard serializes its window at
     scale — shard by bucket(id) when no natural source exists (same
     answer modulo shard boundaries)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     t = F.trim(F.col(text_col))
     n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     w = Window.partitionBy(by).orderBy(id_col)
@@ -603,6 +615,7 @@ def decontaminate(
     its distinct grams and joins without shuffling. Returns one row per
     corpus doc: (doc_id, n_hits, is_contaminated).
     """
+    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
     grams = F.array_distinct(shingles(text_col, n))
     bench = benchmark.select(F.explode(grams).alias("gram")).distinct()
     doc_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
@@ -646,6 +659,7 @@ def decontaminate_spans(
     the doc —, start_token, end_token — inclusive 0-based word offsets
     —, n_grams — colliding grams merged into the span).
     """
+    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
     grams = shingles(text_col, n)
     bench = benchmark.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
     pos_grams = corpus.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
@@ -705,6 +719,7 @@ def duplicate_spans(
     Returns one row per maximal span: (doc_id, span_id, start_token,
     end_token — inclusive 0-based word offsets —, n_grams).
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     grams = shingles(text_col, n)
     key = F.col("gram") if portable_hash else F.xxhash64("gram")
     ex = df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).withColumn(
@@ -746,6 +761,8 @@ def nb_quality_classifier(
     Returns (id_col, n_words, nb_llr — rounded 6 —, is_quality =
     nb_llr > 0).
     """
+    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
+
     def words_of(df):
         return df.select(
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
@@ -842,6 +859,7 @@ def leakage_safe_splits(
 
     Returns (id_col, cluster_rep, split).
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
     keyed = df.select(F.col(id_col), digest.alias("_digest"))
     reps = keyed.groupBy("_digest").agg(F.min(id_col).alias("cluster_rep"))
@@ -894,6 +912,7 @@ def gopher_quality_flags(
     past any scan. Returns one row per doc with the measured features,
     the seven flags, and ``passes_gopher`` = AND of all seven.
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     feats = _gopher_feature_exprs(F.col(text_col))
     out = df.select(F.col(id_col), *[v.alias(k) for k, v in feats.items()])
     flags = _gopher_flag_exprs(
@@ -1012,6 +1031,7 @@ def c4_quality_flags(
     has_lorem_ipsum, has_curly_brace, has_badword, passes_c4,
     text_clean).
     """
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     e = _c4_exprs(F.col(text_col), min_line_words, badwords)
     out = df.select(
         F.col(id_col),
@@ -1104,6 +1124,7 @@ def domain_mix(
     accept test is then a pure filter — the corpus itself NEVER
     shuffles. Domains with zero token mass drop (their weight is 0).
     Returns kept rows (key, domain, n_tokens, keep_rate)."""
+    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     t = F.trim(F.col(text_col))
     n_tok = (
         F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
