@@ -41,13 +41,24 @@ _STOP_EN = r"(?i)\b(" + "|".join(_EN) + r")\b"
 _STOP_FR = r"(?i)\b(" + "|".join(_FR) + r")\b"
 
 
+# tables whose consumers run expensive NARROW work (tokenization,
+# regex, shingling, vector math) — these gain 10-30x from spreading a
+# degenerate single-row-group scan. The window/aggregate-dominated
+# tables (events, TPC dims) redistribute in their first exchange anyway,
+# so pre-spreading them only adds a round-trip.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # fan_out: the sf tables ship as one file / one row group, which
     # caps scan parallelism at a single task (guide §2.5); no-op when
     # the scan is already parallel enough (real tables at scale)
-    from hydra_spark.parallel import fan_out
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FAN_OUT_TABLES:
+        from hydra_spark.parallel import fan_out
 
-    return fan_out(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = fan_out(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -400,9 +400,6 @@ def ann_topk(
     joined back exactly once afterwards. Carrying vectors through the
     candidate shuffles would cost ≈ candidates × 2 full vectors of
     shuffle bytes, the dominant term at corpus scale."""
-    from hydra_spark.parallel import fan_out
-
-    corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
     # no silent caps: the scan fraction IS the recall lever — surface it
     frac = min(1.0, tables * (min(probes, n_planes) + 1) / 2 ** n_planes)
     logger.info(
