@@ -2,7 +2,7 @@
 queries() entry on Spark and its oracle_sql() twin on DuckDB at sf0.01,
 compare row count, column names, and order-insensitive values.
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [sf_dir] [--json OUT.json] [query ...]
 """
 
 from __future__ import annotations
@@ -45,8 +45,15 @@ def norm(v):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report = {}
     spark = get_spark(cores=8, app="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +84,14 @@ def main():
         ok = ok_cols and s_ms == d_ms
         status = "OK " if ok else "FAIL"
         print(f"  {name:28s} {status} spark={len(srows)} duck={len(drows)} cols_match={ok_cols}")
+        report[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": ok_cols,
+            "hash_match": ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         if not ok:
             failures.append(name)
             only_s = list((s_ms - d_ms).items())[:3]
@@ -84,6 +99,12 @@ def main():
             print(f"    spark-only: {only_s}")
             print(f"    duck-only : {only_d}")
     print("FAILURES:", failures if failures else "none")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if failures else 0
 
 
