@@ -49,12 +49,15 @@ _STOP_FR = r"(?i)\b(" + "|".join(_FR) + r")\b"
 _FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, fan: bool = True) -> DataFrame:
     # fan_out: the sf tables ship as one file / one row group, which
     # caps scan parallelism at a single task (guide §2.5); no-op when
-    # the scan is already parallel enough (real tables at scale)
+    # the scan is already parallel enough (real tables at scale).
+    # fan=False opts a window/aggregate-bound consumer out: its first
+    # keyed exchange redistributes anyway, so pre-spreading only adds
+    # a round-trip.
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _FAN_OUT_TABLES:
+    if fan and name in _FAN_OUT_TABLES:
         from hydra_spark.parallel import fan_out
 
         df = fan_out(df)
@@ -247,7 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_tier_selection(spark, sf):  # §2.4 tiers + deterministic order
         d = F.col("doc_id")
-        docs = _t(spark, sf, "documents").withColumn("url", _doc_url())
+        # fan=False: top-k via TakeOrderedAndProject — per-row work is
+        # one md5; pre-spreading measured 1.2-1.5x slower
+        docs = _t(spark, sf, "documents", fan=False).withColumn("url", _doc_url())
         tier = (
             F.when(d % 97 == 0, F.lit(0))
             .when(d % 5 == 0, F.lit(1))
@@ -335,7 +340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_exact_dedup(spark, sf):  # ml dedup (exact)
-        docs = _t(spark, sf, "documents")
+        # fan=False: map-side-combinable aggregate — its exchange
+        # redistributes anyway; pre-spreading shuffles the text payload
+        # (measured 1.5x slower at sf0.1, break-even at sf1)
+        docs = _t(spark, sf, "documents", fan=False)
         h = F.md5(F.encode(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), "UTF-8"))
         return (
             docs.withColumn("content_hash", h)
@@ -1653,7 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.create_map().cast("map<string,string>"))
             )
 
-        docs = _t(spark, sf, "documents")
+        # fan=False: revalidation_stats is window-bound (resource_id
+        # exchange redistributes anyway); pre-spreading measured 1.4x
+        # slower at bench scale
+        docs = _t(spark, sf, "documents", fan=False)
         c1 = docs.select(
             (d * 2).alias("id"), rid.alias("resource_id"), domain.alias("domain"),
             F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("created_at"),
@@ -1699,7 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 3 distinct d%20 hosts) EXCEPT ids with d%9<3, which stay
         # unique — those groups must be filtered by min_hosts=2
         base = F.when(d % 9 < 3, d).otherwise(d - d % 3)
-        pages = _t(spark, sf, "documents").select(
+        # fan=False: mirror_sets is one digest-keyed aggregate whose
+        # exchange redistributes anyway (see mirror_sets docstring)
+        pages = _t(spark, sf, "documents", fan=False).select(
             F.concat(F.lit("https://host"), (d % 20).cast("string"),
                      F.lit(".example.com/doc/"), d.cast("string")).alias("url"),
             F.concat(F.lit("content-"), base.cast("string")).alias("text"),

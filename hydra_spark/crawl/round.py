@@ -277,12 +277,14 @@ def run_round(
     parsed = process_fetched(to_process).persist()
     store.outputs.append(parsed, round_id=round_id)
     _mark("analyse_write")
-    store.tables_index.append(tables_index_entries(parsed, now), round_id=round_id)
-    _mark("tables_index_write")
+    # persisted: every downstream write job (checks/outbox/frontier/
+    # metrics) carries this subtree — without the persist each of them
+    # re-scans the full parsed cache for the handful of error rows
     parse_errs = (
         parsed.where(F.col("parsing_error").isNotNull())
         .select(F.col("resource_id").alias("_erid"), F.col("parsing_error").alias("_perr"))
         .dropDuplicates(["_erid"])
+        .persist()
     )
     cur = (
         cur.join(F.broadcast(parse_errs), cur.resource_id == parse_errs._erid, "left")
@@ -362,10 +364,6 @@ def run_round(
         for f in CHECKS_SCHEMA.fields
     ]
     checks_batch = cur.select(*check_cols)
-    # udata webhook outbox (S16): payloads for changed checks
-    if cfg.webhook_outbox:
-        store.outbox.append(webhook_payloads(cur, now), round_id=round_id)
-        _mark("outbox_write")
     if robots_blocked is not None:
         rb = _robots_checks(robots_blocked, round_id, now, cfg)
         rb_have = set(rb.columns)
@@ -381,8 +379,6 @@ def run_round(
                 ]
             )
         )
-    store.checks.append(checks_batch, round_id=round_id)
-    _mark("checks_write")
 
     # ---- frontier MERGE (SO2) as a merge-on-read DELTA: a round touches
     # ~batch_size of the 10^10-row frontier, so appending a delta beats
@@ -410,8 +406,55 @@ def run_round(
             )
         )
     now_ts = F.to_timestamp(F.lit(now))
-    store.frontier.append_delta(updates.withColumn("_upd_at", now_ts), round_id=round_id)
-    _mark("frontier_write")
+    updates = updates.withColumn("_upd_at", now_ts)
+
+    # per-partition lineage + fetch metrics (north rule)
+    metrics = cur.groupBy("host_bucket", "domain").agg(
+        F.lit(round_id).alias("round_id"),
+        F.count("*").alias("n_urls"),
+        F.sum(F.coalesce(F.col("filesize"), F.lit(0))).alias("bytes"),
+        F.sum(F.when(F.col("status").between(200, 399), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
+        F.sum(F.when(F.col("timeout"), 1).otherwise(0)).alias("n_timeout"),
+        F.sum(F.when(F.col("change_status") == "changed", 1).otherwise(0)).alias("n_changed"),
+    ).persist()
+
+    # ---- independent writes overlap (guide §2.6) -----------------------
+    # outbox / checks / frontier-delta / tables-index / metrics all read
+    # the SAME cached `cur`/`parsed` (materialized by analyse_write) and
+    # write to disjoint store directories — running them sequentially
+    # leaves most cores idle in every job's output-commit tail. A small
+    # thread pool lets the next job's tasks back-fill executors freed by
+    # the current job's stragglers; per-job wall stays attributed under
+    # the round-5 timing keys (longest job submitted first).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _timed(name: str, fn) -> None:
+        t0w = time.time()
+        fn()
+        timings[name] = round(time.time() - t0w, 3)
+
+    write_jobs: list[tuple[str, object]] = []
+    if cfg.webhook_outbox:
+        write_jobs.append(
+            ("outbox_write",
+             lambda: store.outbox.append(webhook_payloads(cur, now), round_id=round_id))
+        )
+    write_jobs += [
+        ("checks_write",
+         lambda: store.checks.append(checks_batch, round_id=round_id)),
+        ("frontier_write",
+         lambda: store.frontier.append_delta(updates, round_id=round_id)),
+        ("tables_index_write",
+         lambda: store.tables_index.append(tables_index_entries(parsed, now), round_id=round_id)),
+        ("metrics_write",
+         lambda: store.metrics.append(metrics, round_id=round_id)),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(_timed, n, fn) for n, fn in write_jobs]
+        for f in futs:
+            f.result()
+    _mark("writes_wall")
 
     # ---- link discovery (Common-Crawl-style frontier growth) -----------
     # hrefs from this round's fetched pages become next-round frontier
@@ -438,19 +481,6 @@ def run_round(
         new_rows.unpersist()
         _mark("discover_write")
 
-    # ---- per-partition lineage + fetch metrics (north rule) ------------
-    metrics = cur.groupBy("host_bucket", "domain").agg(
-        F.lit(round_id).alias("round_id"),
-        F.count("*").alias("n_urls"),
-        F.sum(F.coalesce(F.col("filesize"), F.lit(0))).alias("bytes"),
-        F.sum(F.when(F.col("status").between(200, 399), 1).otherwise(0)).alias("n_ok"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
-        F.sum(F.when(F.col("timeout"), 1).otherwise(0)).alias("n_timeout"),
-        F.sum(F.when(F.col("change_status") == "changed", 1).otherwise(0)).alias("n_changed"),
-    ).persist()
-    store.metrics.append(metrics, round_id=round_id)
-    _mark("metrics_write")
-
     # round totals come from the (tiny) metrics aggregate — no extra
     # pass over the fetch DAG
     n_checked = metrics.agg(F.sum("n_urls")).first()[0] or 0
@@ -461,6 +491,7 @@ def run_round(
     batch.unpersist()
     cur.unpersist()
     parsed.unpersist()
+    parse_errs.unpersist()
     if lc is not None:
         lc.unpersist()
     wall = time.time() - t0

@@ -459,8 +459,11 @@ def stratified_sample(
     sample is reproducible at any parallelism, stable under re-runs, and
     a row's fate never depends on other rows (no shuffle, no count —
     pure filter; exact binary rates like 0.5/0.25 compare exactly).
-    Unlisted strata get ``default_rate``."""
-    df = fan_out(df)  # guide §2.5 scan-parallelism guard
+    Unlisted strata get ``default_rate``.
+
+    No fan_out: this is a pure filter (zero-exchange plan property);
+    adding a round-robin exchange to spread a trivial hash-compare is a
+    strict loss at any scale."""
     pairs = []
     for s, r in sorted(rates.items()):
         pairs += [F.lit(s), F.lit(float(r))]
@@ -490,8 +493,11 @@ def exact_stratified_sample(
     Scale: rank-within-group ≤ n compiles to WindowGroupLimit — Spark
     keeps a bounded per-group heap on the map side and again post-
     shuffle, so no stratum is ever fully sorted or materialized; ONE
-    shuffle on the stratum key."""
-    df = fan_out(df)  # guide §2.5 scan-parallelism guard
+    shuffle on the stratum key.
+
+    No fan_out: the stratum-key window exchange redistributes anyway;
+    the per-row work (one hash) is too cheap to justify a second
+    exchange."""
     u = uniform_hash(F.col(key_col).cast("string"), seed)
     w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
     return (
@@ -858,8 +864,12 @@ def leakage_safe_splits(
     join is the same shape as exact dedup.
 
     Returns (id_col, cluster_rep, split).
+
+    No fan_out: both the groupBy and the join back are keyed on the
+    digest — their hash exchanges redistribute anyway, and a pre-agg
+    round-robin would shuffle the text payload (measured 1.5x slower
+    at bench scale).
     """
-    df = fan_out(df)  # guide §2.5 scan-parallelism guard
     digest = F.md5(F.lower(F.trim(F.col(text_col))))
     keyed = df.select(F.col(id_col), digest.alias("_digest"))
     reps = keyed.groupBy("_digest").agg(F.min(id_col).alias("cluster_rep"))
