@@ -298,20 +298,31 @@ def process_fetched(df: DataFrame) -> DataFrame:
     and typed parsed rows for csv resources (kind='row').
 
     df: (url, resource_id, dataset_id, html, parsing_table
-    [, prev_inspection]) — rows with NULL parsing_table get text
-    extraction only; a non-NULL prev_inspection JSON enables the
-    validate-then-detect fast path. Fusing the two outputs halves the
-    passes over the html bytes (they dominate round cost).
+    [, prev_inspection] [, pre_text]) — rows with NULL parsing_table get
+    text extraction only; a non-NULL prev_inspection JSON enables the
+    validate-then-detect fast path. A non-NULL ``pre_text`` short-
+    circuits python text extraction entirely: the caller already
+    extracted the text JVM-side (analysis/extract.extract_text_jvm,
+    byte-identical twin) and nulled ``html``, so the Arrow boundary
+    ships the small extracted string instead of the raw page bytes and
+    the worker only assembles the output row. Fusing the outputs halves
+    the passes over the payload bytes (they dominate round cost).
     """
     if "prev_inspection" not in df.columns:
         df = df.withColumn("prev_inspection", F.lit(None).cast("string"))
-    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table", "prev_inspection"]
+    if "pre_text" not in df.columns:
+        df = df.withColumn("pre_text", F.lit(None).cast("string"))
+    cols = ["url", "resource_id", "dataset_id", "html", "parsing_table",
+            "prev_inspection", "pre_text"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in OUTPUTS_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
-            for url, rid, did, html, table, prev in pdf[cols].itertuples(index=False):
+            for url, rid, did, html, table, prev, pre in pdf[cols].itertuples(index=False):
+                if pre is not None:
+                    rows.append(("text", None, rid, did, url, None, None, None, None, pre))
+                    continue
                 if html is None:
                     continue
                 data = bytes(html)

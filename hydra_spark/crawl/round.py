@@ -243,19 +243,34 @@ def run_round(
     cur = cur.persist()
     _mark("plan")
 
-    # ---- single-pass analysis + text extraction (§2.10) -----------------
-    # ONE python pass over the fetched bytes yields BOTH per-round
-    # outputs: byte-identical extracted text per document (the webtext
-    # deliverable / BASELINE.json invariant) and typed parsed rows for
-    # changed-or-unknown CSV resources (the parsing_table gate above).
-    # Measured trade (BENCH/BASELINE.md): splitting plain-text rows to a
-    # JVM-expression branch (analysis/extract.extract_text_jvm) needs an
-    # extra materialization barrier over `cur` that costs MORE than the
-    # Arrow transfer it saves — the fused pass overlaps python workers
-    # with the JVM fetch stages and scales 2→8 cores at ≥0.8.
+    # ---- split-boundary analysis + text extraction (§2.10, guide §4) ----
+    # ONE python pass, but the JVM↔Python boundary only carries payload
+    # bytes for rows that genuinely NEED python: CSV parsing
+    # (parsing_table set) or a python-only decoder (gzip member, xlsx
+    # zip, legacy xls). For everything else (~70% of a round: HTML and
+    # plain-text pages) the text is extracted BEFORE the boundary by
+    # extract_text_jvm — whole-stage codegen, byte-identical to the
+    # python twin (round-level invariant test over the full corpus) —
+    # and `html` is nulled out, so the Arrow transfer ships the (much
+    # smaller) extracted text instead of the raw page bytes and the
+    # python worker only assembles the output row. Single consumer
+    # chain: the pass still pipelines with the fetch join and the
+    # cache materialization (no second scan, no partition-compute race).
+    from hydra_spark.analysis.extract import extract_text_jvm
+
+    needs_python = F.col("parsing_table").isNotNull() | F.coalesce(
+        F.col("mime_type").isin("application/gzip", XLSX_MIME, XLS_MIME), F.lit(False)
+    )
     to_process = cur.where(
         F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
-    ).select("url", "resource_id", "dataset_id", "html", "parsing_table")
+    ).select(
+        "url",
+        "resource_id",
+        "dataset_id",
+        F.when(needs_python, F.col("html")).alias("html"),
+        "parsing_table",
+        F.when(~needs_python, extract_text_jvm(F.col("html"))).alias("pre_text"),
+    )
     if cfg.validate_then_detect and store.tables_index.exists():
         # validate-then-detect fast path: hand each file its latest
         # previous inspection (csv_like/__init__.py:41-50)
