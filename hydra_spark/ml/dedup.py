@@ -261,8 +261,21 @@ def jaccard_verify(
     ngram: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard)."""
-    df = fan_out(df)  # guide §2.5 scan-parallelism guard
+    """Exact n-gram Jaccard on candidate pairs → (id_a, id_b, jaccard).
+
+    The corpus is pre-filtered to ids that appear in a candidate pair
+    (semi-join against the tiny pair-id set, broadcast by Catalyst)
+    BEFORE the shingle arrays are built: candidates are a vanishing
+    fraction of the corpus by LSH construction, so building shingles
+    for every document only to discard them in the inner joins was the
+    dominant cost (guide §2.3 — decide on a lightweight proxy first).
+    Inner-join semantics are unchanged, so the result is identical."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    df = df.join(cand_ids, df[id_col] == F.col("_cid"), "left_semi")
     toks = df.select(
         F.col(id_col).alias("_id"), F.array_distinct(shingles(text_col, ngram)).alias("toks")
     )
