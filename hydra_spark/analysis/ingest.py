@@ -292,6 +292,44 @@ def _extract_text_py(data: bytes) -> str:
     return re.sub(r"\s+", " ", re.sub(r"<[^>]+>", " ", s)).strip()
 
 
+def route_python_boundary(df: DataFrame) -> DataFrame:
+    """Split the JVM↔Python boundary for `process_fetched` (guide §4):
+    rows that need no python work get their text extracted JVM-side
+    (``pre_text``) and their payload nulled, so Arrow ships the small
+    extracted string instead of the page bytes.
+
+    df: (url, resource_id, dataset_id, html, parsing_table, mime_type).
+
+    The JVM lane is only byte-identical to the python twin when the
+    payload is VALID UTF-8 text: Spark's binary→string cast keeps raw
+    bytes (no U+FFFD substitution like python's decode(...,'replace')),
+    and an invalid-UTF-8 string crashes the Arrow→pandas conversion
+    feeding the python pass. So the JVM lane takes (a) parquet payloads
+    (both twins emit "" for PAR1) and (b) text-typed mimes whose bytes
+    validate; everything else — CSV-to-parse rows, gzip/xlsx/xls
+    decodes, media containers, latin-1 CSV, binary soup sniffed
+    text/plain — ships its bytes to python unchanged.
+    """
+    from hydra_spark.analysis.extract import extract_text_jvm
+    from hydra_spark.analysis.georoute import GEOJSON_MIMES, PARQUET_MIMES
+    from hydra_spark.analysis.xls import XLS_MIME  # noqa: F401 (python lane)
+    from hydra_spark.analysis.xlsx import XLSX_MIME  # noqa: F401 (python lane)
+
+    pre_ok = F.col("mime_type").isin(*PARQUET_MIMES) | (
+        F.col("mime_type").isin("text/html", "text/plain", "text/csv", *GEOJSON_MIMES)
+        & F.is_valid_utf8(F.col("html").cast("string"))
+    )
+    needs_python = F.col("parsing_table").isNotNull() | ~F.coalesce(pre_ok, F.lit(False))
+    return df.select(
+        "url",
+        "resource_id",
+        "dataset_id",
+        F.when(needs_python, F.col("html")).alias("html"),
+        "parsing_table",
+        F.when(~needs_python, extract_text_jvm(F.col("html"))).alias("pre_text"),
+    )
+
+
 def process_fetched(df: DataFrame) -> DataFrame:
     """ONE pass over the fetched bytes producing BOTH per-round outputs
     (OUTPUTS_SCHEMA): extracted text per fetched document (kind='text')

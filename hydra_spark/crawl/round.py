@@ -245,31 +245,19 @@ def run_round(
 
     # ---- split-boundary analysis + text extraction (§2.10, guide §4) ----
     # ONE python pass, but the JVM↔Python boundary only carries payload
-    # bytes for rows that genuinely NEED python: CSV parsing
-    # (parsing_table set) or a python-only decoder (gzip member, xlsx
-    # zip, legacy xls). For everything else (~70% of a round: HTML and
-    # plain-text pages) the text is extracted BEFORE the boundary by
-    # extract_text_jvm — whole-stage codegen, byte-identical to the
-    # python twin (round-level invariant test over the full corpus) —
-    # and `html` is nulled out, so the Arrow transfer ships the (much
-    # smaller) extracted text instead of the raw page bytes and the
-    # python worker only assembles the output row. Single consumer
-    # chain: the pass still pipelines with the fetch join and the
-    # cache materialization (no second scan, no partition-compute race).
-    from hydra_spark.analysis.extract import extract_text_jvm
+    # bytes for rows that genuinely NEED python (CSV parse, gzip/xlsx/
+    # xls decode, non-UTF-8 payloads); valid-UTF-8 text rows — the bulk
+    # of a round — get their text extracted JVM-side and ship only the
+    # small extracted string across Arrow (route_python_boundary).
+    # Single consumer chain: the pass still pipelines with the fetch
+    # join and the cache materialization (no second scan, no
+    # partition-compute race).
+    from hydra_spark.analysis.ingest import route_python_boundary
 
-    needs_python = F.col("parsing_table").isNotNull() | F.coalesce(
-        F.col("mime_type").isin("application/gzip", XLSX_MIME, XLS_MIME), F.lit(False)
-    )
-    to_process = cur.where(
-        F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
-    ).select(
-        "url",
-        "resource_id",
-        "dataset_id",
-        F.when(needs_python, F.col("html")).alias("html"),
-        "parsing_table",
-        F.when(~needs_python, extract_text_jvm(F.col("html"))).alias("pre_text"),
+    to_process = route_python_boundary(
+        cur.where(
+            F.col("html").isNotNull() & F.col("status").isNotNull() & (F.col("status") < 400)
+        ).select("url", "resource_id", "dataset_id", "html", "parsing_table", "mime_type")
     )
     if cfg.validate_then_detect and store.tables_index.exists():
         # validate-then-detect fast path: hand each file its latest

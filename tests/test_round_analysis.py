@@ -232,3 +232,50 @@ class TestHtmlToText:
         assert self._x(None) is None
         # invalid utf-8 bytes decode leniently, parse continues
         assert self._x(b"<p>ok \xff\xfe</p>") == "ok ��"
+
+
+def test_route_python_boundary_matches_python_twin(spark):
+    """The JVM/python boundary split (route_python_boundary) must be
+    invisible in the outputs: for every payload class — valid-UTF-8
+    text mimes (JVM lane), parquet magic (JVM "" lane), and the python
+    lane (CSV-to-parse, gzip, media containers, latin-1/invalid UTF-8
+    bytes sniffed as text) — the routed pass produces byte-identical
+    rows to shipping raw bytes into python (the round-5 behavior).
+    Regression: raw-byte binary→string casts of invalid UTF-8 used to
+    crash the Arrow→pandas conversion (WAV payloads, latin-1 CSV)."""
+    from hydra_spark.analysis.ingest import process_fetched, route_python_boundary
+
+    wav = b"RIFF\x24\x00\x00\x00WAVEfmt " + bytes(range(256)) * 4
+    latin1_csv = "col;date\nnoël;02/01/2024\n".encode("latin-1")
+    cases = [
+        # (mime_type, payload, parsing_table?)
+        ("text/html", b"<html><body><p>hello</p></body></html>", None),
+        ("text/plain", "plain café text".encode(), None),
+        ("text/csv", b"a,b,c\n1,2,3", None),  # unchanged csv: text lane
+        ("text/csv", b"a,b,c\n1,2,3", "t_parse"),  # to-parse: python lane
+        ("application/vnd.apache.parquet", b"PAR1\x00\x01\x02", None),
+        ("audio/x-wav", wav, None),  # binary: python lane, must not crash
+        ("text/csv", latin1_csv, None),  # invalid UTF-8: python lane
+        ("application/gzip", __import__("gzip").compress(b"x,y\n1,2", mtime=0), None),
+    ]
+    df = spark.createDataFrame(
+        [
+            (f"u{i}", f"r{i}", f"d{i}", bytearray(b), pt, m)
+            for i, (m, b, pt) in enumerate(cases)
+        ],
+        "url string, resource_id string, dataset_id string, html binary, "
+        "parsing_table string, mime_type string",
+    )
+    routed = process_fetched(route_python_boundary(df)).collect()
+    raw = process_fetched(df.drop("mime_type")).collect()
+    key = lambda r: (r["kind"], r["url"], r["__id"])  # noqa: E731
+    assert sorted(map(tuple, routed), key=lambda t: str(t)) == sorted(
+        map(tuple, raw), key=lambda t: str(t)
+    )
+    # the boundary really did split: text rows crossed with no payload
+    shipped = route_python_boundary(df).collect()
+    by_url = {r["url"]: r for r in shipped}
+    assert by_url["u0"]["html"] is None and by_url["u0"]["pre_text"] == "hello"
+    assert by_url["u4"]["html"] is None and by_url["u4"]["pre_text"] == ""
+    for u in ("u3", "u5", "u6", "u7"):  # python lane keeps its bytes
+        assert by_url[u]["html"] is not None and by_url[u]["pre_text"] is None
