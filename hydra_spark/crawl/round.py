@@ -144,22 +144,34 @@ def run_round(
     else:
         go, robots_blocked = split_robots(go, robots_rules)
 
-    fetched = simulate_fetch(go, pages, cfg, round_id, now)
-
     if lc is not None:
+        # Attach the prev-check columns to the SLIM claim BEFORE the
+        # fetch join (guide §8/§2.3: decide with small rows, move big
+        # rows once). The old shape joined prev onto the fetch OUTPUT,
+        # so the payload bytes crossed an Exchange
+        # hashpartitioning(resource_id) every round — the round's only
+        # payload shuffle (pages stream in place from their
+        # url-partitioned layout). claim⋈prev shuffles two key-only
+        # sides instead, and html never crosses an exchange. Left join
+        # on resource_id commutes with the 1:1-preserving left fetch
+        # join on url, so the result is row-identical (3-round
+        # store-level identity verified for both hinted and broadcast
+        # paths; interleaved sf1 A/B a wash locally — shuffle-to-tmpfs
+        # overlaps the python pass — kept for the at-scale property).
         prev = lc.select(
             F.col("resource_id").alias("_prid"),
             *[F.col(c).alias(f"prev_{c}") for c in _PREV_COLS],
         )
-        # SHUFFLE_HASH (guide §3.1): build on the slim prev-check side so
-        # the html-carrying fetched side streams without the sort-merge
-        # join's full sort of the payload bytes; small rounds stay
-        # un-hinted so Catalyst can broadcast the tiny prev side instead
+        # SHUFFLE_HASH build on the ~150 B/row claim side; small rounds
+        # stay un-hinted so Catalyst can broadcast the tiny prev side
         if cfg.batch_size > cfg.bucket_claim_threshold:
-            prev = prev.hint("SHUFFLE_HASH")
-        cur = fetched.join(prev, fetched.resource_id == prev._prid, "left").drop("_prid")
-    else:
-        cur = fetched
+            go = go.hint("SHUFFLE_HASH")
+        go = go.join(prev, go.resource_id == prev._prid, "left").drop("_prid")
+
+    fetched = simulate_fetch(go, pages, cfg, round_id, now)
+
+    cur = fetched
+    if lc is None:
         for c in _PREV_COLS:
             cur = cur.withColumn(f"prev_{c}", F.lit(None).cast(dict(
                 zip(CHECKS_SCHEMA.fieldNames(), [f.dataType for f in CHECKS_SCHEMA.fields])
