@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from hydra_spark.parallel import fan_out
 
-from .text import let_bound, shingles
+from .text import let_bound, shingle_hashes, shingles
 
 __all__ = [
     "chunk_segments",
@@ -194,53 +194,52 @@ def chunk_dedup_corpus(
     every occurrence — except, with ``keep_first``, the single earliest
     one (min (doc_id, pos)), which is C4's keep-one-copy policy.
 
-    Plan: posexplode → ONE shuffle keyed on ``xxhash64(chunk)`` (8 B vs
-    a ~25 B+ chunk string on real webtext — ~3-10× fewer shuffle bytes
-    on the frequency exchange) for the exact distinct-doc frequency
-    table (two-phase partial agg) + the earliest occurrence (min struct
-    — same agg, no extra pass) → co-keyed join back on the hash →
-    re-assemble per doc (array_sort over collected (pos, chunk) structs
-    restores original order without a sort exchange). A 64-bit hash
-    collision between distinct chunks would merge their frequencies —
-    P ≈ n²/2⁶⁵, negligible below ~10¹² distinct chunks (and biased
-    toward over-removal of boilerplate, never corruption). Returns one
-    row per input doc: (doc_id, text_deduped, n_chunks, n_removed).
-    Docs reduced to nothing keep an empty string, so kept+dropped
-    accounting stays exact.
+    Plan (guide §8: decide on lightweight proxies, move the text once):
+    every shuffle except the final doc-keyed re-attach carries only
+    (doc_id, pos, xxhash64(chunk)) — the chunk STRINGS never cross an
+    exchange. posexplode → ONE slim shuffle keyed on the hash for the
+    exact distinct-doc frequency table (two-phase partial agg) + the
+    earliest occurrence (min struct — same agg, no extra pass) → the
+    frequency table is pre-filtered to boilerplate hashes only
+    (df_count > max_doc_freq, a vanishing fraction of distinct chunks)
+    before a co-keyed join that yields the DROP positions → drop-lists
+    aggregate per doc → one join back to the docs, which rebuild
+    locally by filtering their own chunk array by position. A 64-bit
+    hash collision between distinct chunks would merge their
+    frequencies — P ≈ n²/2⁶⁵, negligible below ~10¹² distinct chunks
+    (and biased toward over-removal of boilerplate, never corruption).
+    Returns one row per input doc: (doc_id, text_deduped, n_chunks,
+    n_removed). Docs reduced to nothing keep an empty string, so
+    kept+dropped accounting stays exact.
     """
     df = fan_out(df)  # guide §2.5 scan-parallelism guard
     base = df.select("doc_id", chunk_segments(text_col, k).alias("chunks"))
-    ex = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk")).withColumn(
-        "chunk_h", F.xxhash64("chunk")
+    ex_h = base.select("doc_id", F.posexplode("chunks").alias("pos", "chunk")).select(
+        "doc_id", "pos", F.xxhash64("chunk").alias("chunk_h")
     )
-    freq = ex.groupBy("chunk_h").agg(
+    freq = ex_h.groupBy("chunk_h").agg(
         F.countDistinct("doc_id").alias("df_count"),
         F.min(F.struct("doc_id", "pos")).alias("first_occ"),
     )
-    keep_cond = F.col("df_count") <= max_doc_freq
+    boiler = freq.where(F.col("df_count") > max_doc_freq)
+    dropped = ex_h.join(boiler, "chunk_h")
     if keep_first:
-        keep_cond = keep_cond | (
-            (F.col("doc_id") == F.col("first_occ.doc_id")) & (F.col("pos") == F.col("first_occ.pos"))
+        dropped = dropped.where(
+            ~((F.col("doc_id") == F.col("first_occ.doc_id")) & (F.col("pos") == F.col("first_occ.pos")))
         )
-    kept = ex.join(freq, "chunk_h").where(keep_cond)
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))), lambda s: s.chunk
-            ),
-            " ",
-        ).alias("text_deduped"),
-        F.count("*").alias("n_kept"),
+    drops = dropped.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("_drop_pos"), F.count("*").alias("_n_removed")
     )
-    return (
-        base.select("doc_id", F.size("chunks").alias("n_chunks"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        )
+    rebuilt = F.array_join(
+        F.filter("chunks", lambda c, i: ~F.array_contains(F.col("_drop_pos"), i)), " "
+    )
+    return base.join(drops, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_drop_pos").isNull(), F.array_join("chunks", " "))
+        .otherwise(rebuilt)
+        .alias("text_deduped"),
+        F.size("chunks").alias("n_chunks"),
+        F.coalesce("_n_removed", F.lit(0)).cast("long").alias("n_removed"),
     )
 
 
@@ -726,11 +725,20 @@ def duplicate_spans(
     end_token — inclusive 0-based word offsets —, n_grams).
     """
     df = fan_out(df)  # guide §2.5 scan-parallelism guard
-    grams = shingles(text_col, n)
-    key = F.col("gram") if portable_hash else F.xxhash64("gram")
-    ex = df.select("doc_id", F.posexplode(grams).alias("pos", "gram")).withColumn(
-        "gram_h", key
-    )
+    if portable_hash:
+        ex = df.select(
+            "doc_id", F.posexplode(shingles(text_col, n)).alias("pos", "gram")
+        ).withColumn("gram_h", F.col("gram"))
+    else:
+        # hash n-grams WITHOUT materializing the gram strings: combine
+        # per-word xxhash64s (shingle_hashes) instead of building every
+        # n-gram string and hashing it — same equality classes (equal
+        # grams ⇒ equal hashes, collisions P ≈ n²/2⁶⁵ as before), a
+        # fraction of the allocation; string materialization dominates
+        # this explode (same trade as minhash/fingerprint).
+        ex = df.select(
+            "doc_id", F.posexplode(shingle_hashes(text_col, n)).alias("pos", "gram_h")
+        )
     freq = ex.groupBy("gram_h").agg(F.count("*").alias("occ"))
     dup = freq.where(F.col("occ") >= min_count).select("gram_h")
     hits = ex.join(dup, "gram_h").select("doc_id", "pos")
