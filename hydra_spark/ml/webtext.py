@@ -617,15 +617,19 @@ def decontaminate(
 
     The benchmark's distinct n-gram set is small (eval suites are ~1e6
     grams) → built with one agg and BROADCAST; the corpus side explodes
-    its distinct grams and joins without shuffling. Returns one row per
-    corpus doc: (doc_id, n_hits, is_contaminated).
+    its distinct grams and joins without shuffling. Both sides match on
+    the 64-bit combined word-hash (shingle_hashes) instead of the gram
+    string: no n-gram strings are ever materialized, and the broadcast
+    ships 8 B/gram — same matches (equal grams ⇒ equal hashes,
+    collision P ≈ n²/2⁶⁵ as everywhere in the hash-keyed family).
+    Returns one row per corpus doc: (doc_id, n_hits, is_contaminated).
     """
     corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
-    grams = F.array_distinct(shingles(text_col, n))
-    bench = benchmark.select(F.explode(grams).alias("gram")).distinct()
-    doc_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
+    grams = F.array_distinct(shingle_hashes(text_col, n))
+    bench = benchmark.select(F.explode(grams).alias("gram_h")).distinct()
+    doc_grams = corpus.select("doc_id", F.explode(grams).alias("gram_h"))
     hits = (
-        doc_grams.join(F.broadcast(bench), "gram")
+        doc_grams.join(F.broadcast(bench), "gram_h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -665,10 +669,11 @@ def decontaminate_spans(
     —, n_grams — colliding grams merged into the span).
     """
     corpus = fan_out(corpus)  # guide §2.5 scan-parallelism guard
-    grams = shingles(text_col, n)
-    bench = benchmark.select(F.explode(F.array_distinct(grams)).alias("gram")).distinct()
-    pos_grams = corpus.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-    hits = pos_grams.join(F.broadcast(bench), "gram").select("doc_id", "pos")
+    # hash-keyed matching as in `decontaminate`: no gram strings built
+    grams = shingle_hashes(text_col, n)
+    bench = benchmark.select(F.explode(F.array_distinct(grams)).alias("gram_h")).distinct()
+    pos_grams = corpus.select("doc_id", F.posexplode(grams).alias("pos", "gram_h"))
+    hits = pos_grams.join(F.broadcast(bench), "gram_h").select("doc_id", "pos")
     return _merge_islands(hits, n)
 
 
