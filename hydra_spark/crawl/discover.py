@@ -58,13 +58,28 @@ def extract_links(
     at ``max_links_per_page`` (slice after distinct — deterministic,
     bounds the explode against link-spam pages).
     """
-    html_str = F.col(html_col).cast("string")
+    # Base-URL parts are PRE-PROJECTED as plain columns: expressions
+    # referenced inside a higher-order-function lambda are re-evaluated
+    # per array element (HOFs are interpreted — no codegen CSE), so an
+    # inline `scheme`/`host`/`basedir` would re-run its regexp per HREF
+    # instead of once per page. Column references are free.
     base = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
-    host = F.lower(F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?]+)", 1))
+    scheme0 = F.lower(F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    host0 = F.lower(F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?]+)", 1))
     path = F.regexp_extract(base, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]+(/[^?]*)?", 1)
-    basedir = F.regexp_replace(path, r"[^/]*$", "")
-    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    basedir0 = F.regexp_replace(path, r"[^/]*$", "")
+    basedir0 = F.when(basedir0 == "", F.lit("/")).otherwise(basedir0)
+    df = df.select(
+        base.alias("_src_url"),
+        F.col(html_col).cast("string").alias("_html"),
+        scheme0.alias("_scheme"),
+        host0.alias("_host"),
+        basedir0.alias("_basedir"),
+    )
+    html_str = F.col("_html")
+    scheme = F.col("_scheme")
+    host = F.col("_host")
+    basedir = F.col("_basedir")
 
     def resolve(l):
         l = F.trim(l)
@@ -91,7 +106,7 @@ def extract_links(
     links = F.slice(F.array_sort(F.array_distinct(links)), 1, max_links_per_page)
     # two projections: an output alias "url" would shadow the input
     # column the link expressions reference (lateral-alias conflict)
-    staged = df.select(base.alias("_src_url"), links.alias("_links"))
+    staged = df.select(F.col("_src_url"), links.alias("_links"))
     return staged.select(
         F.col("_src_url").alias("url"), F.explode("_links").alias("link")
     )
