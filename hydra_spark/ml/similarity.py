@@ -86,6 +86,36 @@ def hyperplane_signature(
     return df.withColumn("bucket", project(F.col(vec_col)))
 
 
+def hyperplane_signatures_multi(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+    tables: int,
+    seed_step: int = 101,
+) -> DataFrame:
+    """Adds `buckets`: array<int> of the `tables` per-table hyperplane
+    signatures, computed in ONE Arrow pass. Element t is BIT-IDENTICAL
+    to `hyperplane_signature(df, vec_col, n_planes, seed + seed_step*t)`
+    — same rng stream per table — so a multi-table consumer can take
+    one corpus scan and one python boundary crossing instead of
+    `tables` of each."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def project(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = mat.shape[1]
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = np.empty((len(mat), tables), dtype=np.int32)
+        for t in range(tables):
+            rng = np.random.default_rng(seed + seed_step * t)
+            planes = rng.standard_normal((d, n_planes))
+            buckets[:, t] = (((mat @ planes) > 0) @ weights).astype(np.int32)
+        return pd.Series(list(buckets))
+
+    return df.withColumn("buckets", project(F.col(vec_col)))
+
+
 def ivf_assign(
     df: DataFrame, centroids: "np.ndarray", vec_col: str = "embedding", col: str = "cluster"
 ) -> DataFrame:
@@ -406,24 +436,28 @@ def ann_topk(
         "ann_topk: tables=%d probes=%d n_planes=%d -> expected corpus scan fraction %.4f",
         tables, probes, n_planes, frac,
     )
-    cands = []
-    for t in range(tables):
-        c = hyperplane_signature(corpus, vec_col, n_planes, seed + 101 * t).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
-        )
-        q = hyperplane_signature(queries, vec_col, n_planes, seed + 101 * t).select(
-            F.col(query_id_col).alias("query_id"), "bucket"
-        )
-        probe_buckets = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(probes, n_planes))],
-        )
-        qx = q.select("query_id", F.explode(probe_buckets).alias("bucket"))
-        cands.append(qx.join(c, "bucket").select("query_id", "neighbor_id"))
-    allc = cands[0]
-    for c in cands[1:]:
-        allc = allc.unionByName(c)
-    pairs = allc.dropDuplicates(["query_id", "neighbor_id"])
+    # all `tables` signatures in ONE corpus scan / ONE python boundary
+    # crossing (hyperplane_signatures_multi, bit-identical per-table
+    # buckets), joined on the composite (table, bucket) key — the union
+    # over per-table joins IS the single join on (t, bucket), so the
+    # candidate set is unchanged while the corpus-side ArrowEvalPython
+    # runs once instead of `tables` times
+    c = hyperplane_signatures_multi(corpus, vec_col, n_planes, seed, tables).select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("buckets").alias("t", "bucket")
+    )
+    q = hyperplane_signatures_multi(queries, vec_col, n_planes, seed, tables).select(
+        F.col(query_id_col).alias("query_id"), F.posexplode("buckets").alias("t", "bucket")
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(probes, n_planes))],
+    )
+    qx = q.select("query_id", "t", F.explode(probe_buckets).alias("bucket"))
+    pairs = (
+        qx.join(c, ["t", "bucket"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     # vectors re-enter once: corpus side by equi-join, query side broadcast
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
