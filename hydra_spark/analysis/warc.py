@@ -704,6 +704,33 @@ def write_warc_dedup(
         .withColumn("x_canon_url", F.first(url_col).over(wall))
         .withColumn("x_canon_ts", F.first(ts_col).over(wall))
     )
+    # Segment sizing (guide §6). Unlike write_warc — whose contract
+    # says "size segments via upstream repartition" — this writer's
+    # digest window re-shuffles the rows itself, so callers CANNOT
+    # control segment layout. Without a policy the gzip writer runs on
+    # whatever the window leaves: AQE coalesces a small corpus to a
+    # handful of fat single-threaded tasks, and a huge corpus would
+    # emit one mega-segment per shuffle partition. Round-robin
+    # repartition to ~seg_target_bytes per segment, floored at the
+    # session's parallelism (an explicit repartition(n) is exempt from
+    # AQE coalescing; deterministic under sortBeforeRepartition).
+    # Record CONTENT is unaffected — the window columns ride along and
+    # every record is a pure function of its row; only the grouping of
+    # records into segment files changes. Plans without size statistics
+    # (sizeInBytes = conf default ~ 2^63) skip the policy rather than
+    # explode the partition count.
+    seg_target_bytes = 256 * 1024 * 1024
+    try:
+        est = int(str(proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if 0 < est < (1 << 60):
+            spark = proj.sparkSession
+            n = max(
+                spark.sparkContext.defaultParallelism,
+                min(est // seg_target_bytes, 1 << 20),
+            )
+            proj = proj.repartition(int(n))
+    except Exception:
+        pass  # stats unavailable: keep the window's partitioning
 
     def gen(batches):
         os.makedirs(out_dir, exist_ok=True)
