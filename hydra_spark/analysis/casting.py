@@ -144,6 +144,13 @@ def detect_column_format(
     simplified); the rest detect on values alone."""
     low = (name or "").lower()
     toks = set(re.split(r"[^a-z0-9]+", low))
+    # normalize once, not once per candidate format: every format loop
+    # re-ran str().strip() over the whole column in the crawl's hot
+    # python pass (identical semantics — formats only ever see the
+    # stripped non-empty values, and `seen` ⇔ the list is non-empty)
+    norm = [s for v in values if v is not None and (s := str(v).strip())]
+    if not norm:
+        return None
     for fmt in FORMAT_PRIORITY:
         hints = FORMAT_NAME_HINTS.get(fmt)
         if hints is not None and not any(h in toks or (len(h) > 2 and h in low) for h in hints):
@@ -152,15 +159,8 @@ def detect_column_format(
         # inspected page in the crawl's hot python pass
         rx = FORMAT_CHECKS[fmt]
         validator = FORMAT_VALIDATORS.get(fmt)
-        seen = False
         ok = True
-        for v in values:
-            if v is None:
-                continue
-            s = str(v).strip()
-            if not s:
-                continue
-            seen = True
+        for s in norm:
             if not rx.match(s):
                 ok = False
                 break
@@ -172,7 +172,7 @@ def detect_column_format(
                 except ValueError:
                     ok = False
                     break
-        if seen and ok:
+        if ok:
             return fmt, FORMAT_PYTHON_TYPE.get(fmt, "string")
     return None
 
@@ -260,6 +260,67 @@ def detect_column_type(values: list[str | None]) -> str:
     return "string"
 
 
+def _cast_str(s: str) -> str:
+    return s
+
+
+def _cast_bool(s: str):
+    try:
+        return _BOOL[s.strip().lower()]
+    except KeyError:
+        raise ValueError(f"not a bool: {s!r}")
+
+
+def _cast_int(s: str):
+    if _INT_RE.match(s.strip()):
+        return int(float(s.strip()))
+    raise ValueError(f"not an int: {s!r}")
+
+
+def _cast_float(s: str):
+    t = s.strip().lower()
+    if t == "nan":
+        return None  # NaN → NULL in storage
+    if t in _FLOAT_SPECIAL:
+        return math.inf if "-" not in t else -math.inf
+    # French decimal comma: only when there's exactly one comma and
+    # no dot (e.g. "1020,20")
+    u = s.strip()
+    if "," in u and "." not in u and u.count(",") == 1:
+        u = u.replace(",", ".")
+    return float(u)
+
+
+def _cast_date(s: str):
+    d = parse_date(s)
+    if d is None:
+        raise ValueError(f"not a date: {s!r}")
+    return d
+
+
+def _cast_datetime(s: str):
+    dt = parse_datetime(s)
+    if dt is None:
+        raise ValueError(f"not a datetime: {s!r}")
+    return dt[0]
+
+
+# per-type cell casters — smart_cast_cell and the hot per-column path
+# (_cast_matrix) dispatch through the SAME functions, so the two can
+# never drift; the hot path just resolves the dict lookup once per
+# column instead of re-walking a type-comparison chain per cell
+CELL_CASTERS = {
+    "string": _cast_str,
+    "json": _cast_str,
+    "bool": _cast_bool,
+    "int": _cast_int,
+    "float": _cast_float,
+    "date": _cast_date,
+    "datetime": _cast_datetime,
+    "datetime_aware": _cast_datetime,
+}
+
+
 def smart_cast_cell(python_type: str, value: Any) -> Any:
     """The `_smart_cast` matrix (utils/casting.py:12-25): ''/None → None,
     json passthrough, typed parse otherwise. Raises ValueError on
@@ -269,37 +330,4 @@ def smart_cast_cell(python_type: str, value: Any) -> Any:
     s = str(value)
     if s == "":
         return None
-    if python_type == "string" or python_type == "json":
-        return s
-    if python_type == "bool":
-        try:
-            return _BOOL[s.strip().lower()]
-        except KeyError:
-            raise ValueError(f"not a bool: {s!r}")
-    if python_type == "int":
-        if _INT_RE.match(s.strip()):
-            return int(float(s.strip()))
-        raise ValueError(f"not an int: {s!r}")
-    if python_type == "float":
-        t = s.strip().lower()
-        if t == "nan":
-            return None  # NaN → NULL in storage
-        if t in _FLOAT_SPECIAL:
-            return math.inf if "-" not in t else -math.inf
-        # French decimal comma: only when there's exactly one comma and
-        # no dot (e.g. "1020,20")
-        u = s.strip()
-        if "," in u and "." not in u and u.count(",") == 1:
-            u = u.replace(",", ".")
-        return float(u)
-    if python_type == "date":
-        d = parse_date(s)
-        if d is None:
-            raise ValueError(f"not a date: {s!r}")
-        return d
-    if python_type in ("datetime", "datetime_aware"):
-        dt = parse_datetime(s)
-        if dt is None:
-            raise ValueError(f"not a datetime: {s!r}")
-        return dt[0]
-    return s
+    return CELL_CASTERS.get(python_type, _cast_str)(s)

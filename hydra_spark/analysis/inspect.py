@@ -201,14 +201,27 @@ def _cast_matrix(header: list[str], cols: dict, body: list[list[str]]) -> list[l
     """smart-cast every cell ONCE (failsafe NULL), row-major, truncated
     at the header width like the original per-row zip() — shared by the
     profile and the row-output pass so no cell is ever cast twice."""
-    types = [cols[h]["python_type"] for h in header]
+    from hydra_spark.analysis.casting import CELL_CASTERS, _cast_str
+
+    # per-column caster resolved ONCE (same functions smart_cast_cell
+    # dispatches through — semantics identical by construction); the
+    # ''/None short-circuit is inlined to keep the per-cell cost at one
+    # call + one try
+    casters = [CELL_CASTERS.get(cols[h]["python_type"], _cast_str) for h in header]
     ncols = len(header)
     casted = []
     for r in body:
         row = []
-        for t, v in zip(types, r[:ncols]):
+        for fn, v in zip(casters, r[:ncols]):
+            if v is None:
+                row.append(None)
+                continue
+            s = str(v)
+            if s == "":
+                row.append(None)
+                continue
             try:
-                row.append(smart_cast_cell(t, v))
+                row.append(fn(s))
             except ValueError:
                 row.append(None)
         casted.append(row)
