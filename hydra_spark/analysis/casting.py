@@ -273,7 +273,15 @@ def _cast_bool(s: str):
 
 def _cast_int(s: str):
     if _INT_RE.match(s.strip()):
-        return int(float(s.strip()))
+        try:
+            return int(float(s.strip()))
+        except OverflowError:
+            # >~1e309 digit strings: float() yields inf and int(inf)
+            # raises OverflowError, which would escape the callers'
+            # `except ValueError` failsafes and kill the whole analysis
+            # task — normalize to the documented impossible-cast error
+            # so the cell becomes the failsafe NULL instead
+            raise ValueError(f"not an int: {s!r}")
     raise ValueError(f"not an int: {s!r}")
 
 

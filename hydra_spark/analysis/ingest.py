@@ -312,12 +312,18 @@ def route_python_boundary(df: DataFrame) -> DataFrame:
     """
     from hydra_spark.analysis.extract import extract_text_jvm
     from hydra_spark.analysis.georoute import GEOJSON_MIMES, PARQUET_MIMES
-    from hydra_spark.analysis.xls import XLS_MIME  # noqa: F401 (python lane)
-    from hydra_spark.analysis.xlsx import XLSX_MIME  # noqa: F401 (python lane)
 
-    pre_ok = F.col("mime_type").isin(*PARQUET_MIMES) | (
+    # the parquet lane requires the PAR1 magic, not just the mime: a
+    # parquet-labeled payload WITHOUT the magic would fall through
+    # extract_text_jvm's `.otherwise(raw cast)` and ship invalid UTF-8
+    # into Arrow — exactly the crash this gate exists to prevent (the
+    # crawl's sniffed mimes imply the magic, but this function is a
+    # public surface). Non-magic parquet-mime rows go to python, whose
+    # decode(...,'replace') handles them like round 5 did.
+    s = F.col("html").cast("string")
+    pre_ok = (F.col("mime_type").isin(*PARQUET_MIMES) & s.startswith("PAR1")) | (
         F.col("mime_type").isin("text/html", "text/plain", "text/csv", *GEOJSON_MIMES)
-        & F.is_valid_utf8(F.col("html").cast("string"))
+        & F.is_valid_utf8(s)
     )
     needs_python = F.col("parsing_table").isNotNull() | ~F.coalesce(pre_ok, F.lit(False))
     return df.select(

@@ -135,7 +135,11 @@ def main() -> None:
         name: (best[f"{name}@{b2}"] - best[f"{name}@{b1}"]) / (b2 - b1) * 1e6
         for name in ("uniform", "hot50")
     }
-    ratio = round(marginal["hot50"] / marginal["uniform"], 3)
+    # a non-positive marginal means fixed-cost noise swamped the batch
+    # delta at this n — the measurement is meaningless, so the gate must
+    # FAIL (not crash, and not spuriously pass on a negative ratio)
+    measurable = marginal["uniform"] > 0 and marginal["hot50"] > 0
+    ratio = round(marginal["hot50"] / marginal["uniform"], 3) if measurable else None
 
     # claim spread of a hot batch at b2 (the serialization probe the
     # gate has always carried)
@@ -177,7 +181,7 @@ def main() -> None:
             "bucket_balance": balance,
         },
         "criteria": {"marginal_ratio_max": 1.2, "bucket_balance_max": 2.0},
-        "pass": bool(ratio <= 1.2 and balance <= 2.0),
+        "pass": bool(measurable and ratio <= 1.2 and balance <= 2.0),
     }
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

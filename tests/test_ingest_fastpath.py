@@ -141,3 +141,20 @@ def test_filter_types_equals_full_intersection():
         got = _filter_types(cand, v)
         want = cand & value_types(v)
         assert got == want, (seed, v)
+
+
+def test_int_cast_overflow_is_failsafe_null():
+    """A digit string past float range must NULL out like any impossible
+    cast, not escape the ValueError failsafes as OverflowError and kill
+    the analysis task (int(float(s)) raises OverflowError at ~1e309)."""
+    import pytest
+
+    from hydra_spark.analysis.casting import detect_column_type, smart_cast_cell
+
+    huge = "9" * 400
+    assert detect_column_type([huge]) == "int"  # the crash was reachable
+    with pytest.raises(ValueError):
+        smart_cast_cell("int", huge)
+    # normal ints unchanged, including the float-ish ".00" form
+    assert smart_cast_cell("int", "42") == 42
+    assert smart_cast_cell("int", "5.00") == 5

@@ -254,6 +254,9 @@ def test_route_python_boundary_matches_python_twin(spark):
         ("text/csv", b"a,b,c\n1,2,3", None),  # unchanged csv: text lane
         ("text/csv", b"a,b,c\n1,2,3", "t_parse"),  # to-parse: python lane
         ("application/vnd.apache.parquet", b"PAR1\x00\x01\x02", None),
+        # parquet mime WITHOUT the magic (truncated/mislabeled): must go
+        # to python — the JVM lane would raw-cast the invalid bytes
+        ("application/vnd.apache.parquet", b"\xff\xfe not parquet", None),
         ("audio/x-wav", wav, None),  # binary: python lane, must not crash
         ("text/csv", latin1_csv, None),  # invalid UTF-8: python lane
         ("application/gzip", __import__("gzip").compress(b"x,y\n1,2", mtime=0), None),
@@ -268,10 +271,7 @@ def test_route_python_boundary_matches_python_twin(spark):
     )
     routed = process_fetched(route_python_boundary(df)).collect()
     raw = process_fetched(df.drop("mime_type")).collect()
-    key = lambda r: (r["kind"], r["url"], r["__id"])  # noqa: E731
-    assert sorted(map(tuple, routed), key=lambda t: str(t)) == sorted(
-        map(tuple, raw), key=lambda t: str(t)
-    )
+    assert sorted(map(tuple, routed), key=str) == sorted(map(tuple, raw), key=str)
     # the boundary really did split: text rows crossed with no payload
     shipped = route_python_boundary(df).collect()
     by_url = {r["url"]: r for r in shipped}
